@@ -1,0 +1,69 @@
+"""spark-submit entry: batch BM25 top-k serving.
+
+Usage:
+  spark-submit --py-files theoremsearch_spark.zip jobs/query_topk.py \
+      --index <index root from build_index> \
+      [--queries <parquet/csv with query_id,query_text> | --synth-queries N_DOCS] \
+      [--k 10] [--out <parquet path>]
+
+The batch analog of the reference's serving query
+(/root/reference/streamlit_app.py:252-283): ranked top-k ids joined
+back to document metadata, deterministic (score DESC, doc_id ASC).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True, help="index root (contains index/ and docs/)")
+    p.add_argument("--queries", help="parquet path with (query_id, query_text)")
+    p.add_argument("--synth-queries", type=int, help="use the 73-query set for a synth:N corpus")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--out", help="write results parquet here (else show 20 rows)")
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName("ts-query-topk").getOrCreate()
+    from theoremsearch_spark.corpus import query_set
+    from theoremsearch_spark.query import topk_with_urls
+
+    if args.synth_queries:
+        qs = query_set(args.synth_queries)[["query_id", "query_text"]]
+    elif args.queries:
+        qs = spark.read.parquet(args.queries).toPandas()[["query_id", "query_text"]]
+    else:
+        p.error("one of --queries / --synth-queries is required")
+
+    t0 = time.monotonic()
+    hits = topk_with_urls(spark, f"{args.index}/index", f"{args.index}/docs", qs, k=args.k)
+    if args.out:
+        hits.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        hits.show(20, truncate=False)
+        n = hits.count()
+    wall = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "job": "query_topk",
+                "queries": len(qs),
+                "k": args.k,
+                "result_rows": n,
+                "wall_sec": round(wall, 2),
+                "queries_per_sec": round(len(qs) / wall, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

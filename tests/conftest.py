@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from theoremsearch_spark.session import get_spark
+
+    s = get_spark("pytest", cores=int(os.environ.get("PYTEST_SPARK_CORES", "8")), shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus_df(spark):
+    """2k-doc deterministic corpus (FIXTURES.md unit scale), cached."""
+    from theoremsearch_spark.corpus import generate_documents
+
+    df = generate_documents(spark, 2000, partitions=8)
+    df.persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="session")
+def corpus_pdf(corpus_df):
+    return corpus_df.toPandas()
+
+
+@pytest.fixture(scope="session")
+def index_dir(tmp_path_factory, spark, corpus_df):
+    """Built index over the 2k corpus, shared across query tests."""
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import assign_doc_ids, extract_docs
+
+    d = str(tmp_path_factory.mktemp("index"))
+    docs = assign_doc_ids(extract_docs(corpus_df), num_partitions=8)
+    docs.persist()
+    docs.write.mode("overwrite").parquet(f"{d}/docs")
+    docs_r = spark.read.parquet(f"{d}/docs")
+    build_index(docs_r, f"{d}/index", salt_threshold=900, n_segments=4, n_buckets=8)
+    return d

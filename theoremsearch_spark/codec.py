@@ -1,0 +1,88 @@
+"""Delta + varbyte posting-block codec.
+
+Pure-numpy (vectorized, no per-element Python loops) encoder/decoder for
+posting blocks: sorted doc_id runs are delta-encoded (gap list) and the
+gaps + term frequencies are varbyte-compressed (7 data bits per byte,
+high bit = continuation).
+
+The reference keeps a byte-range offset index over immutable bundles
+(`/root/reference/ec2/locate_arxiv_in_s3/__main__.py:86-121`) so that a
+single document can be fetched with a ranged GET; our analog is the
+posting *block*: a fixed-size (default 128-doc) slice of a term's posting
+list, independently decodable, carrying per-block metadata
+(`n_docs`, `max_tf_norm`) so block-max WAND can skip it without decoding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per posting block
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64 array (vectorized).
+
+    Each value is split into 7-bit groups, little-endian; every byte has
+    its high bit set except the last byte of each value.
+    """
+    values = np.asarray(values, dtype=np.uint64)
+    if values.size == 0:
+        return b""
+    # number of 7-bit groups needed per value (at least 1)
+    nbits = np.zeros_like(values)
+    v = values.copy()
+    # bit_length via log2 on nonzero values
+    nz = v > 0
+    nbits[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.uint64) + 1
+    nbytes = np.maximum((nbits + 6) // 7, 1).astype(np.int64)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # output position of each value's first byte
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    # for each output byte, which value does it belong to and which group index
+    owner = np.repeat(np.arange(values.size), nbytes)
+    group = np.arange(total) - starts[owner]
+    shifted = values[owner] >> (group.astype(np.uint64) * np.uint64(7))
+    out[:] = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    # continuation bit: set on all but the last byte of each value
+    is_last = np.zeros(total, dtype=bool)
+    is_last[np.cumsum(nbytes) - 1] = True
+    out[~is_last] |= 0x80
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode a varbyte buffer back to a uint64 array (vectorized)."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    n_values = int(is_last.sum())
+    # group index of each byte within its value: position - start of value
+    value_id = np.zeros(raw.size, dtype=np.int64)
+    value_id[1:] = np.cumsum(is_last)[:-1]
+    # position of first byte of each value
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    group = np.arange(raw.size) - starts[value_id]
+    contrib = (raw & 0x7F).astype(np.uint64) << (group.astype(np.uint64) * np.uint64(7))
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, value_id, contrib)
+    return out
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """Encode one posting block: sorted doc_ids → delta+varbyte, tfs → varbyte."""
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    gaps = np.empty_like(doc_ids)
+    if doc_ids.size:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    return varbyte_encode(gaps), varbyte_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_block(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one posting block → (doc_ids ascending, tfs)."""
+    gaps = varbyte_decode(doc_bytes)
+    return np.cumsum(gaps, dtype=np.uint64), varbyte_decode(tf_bytes)
