@@ -1,0 +1,122 @@
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extras": {...}}
+
+Covers both halves of the engine:
+  - engine_build / engine_topk: inverted-index build + batch BM25 over
+    a synthetic corpus scaled to the sf dir (500k docs/sf unit);
+  - headline relational/dedup/ANN operators over the driver tables at
+    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Scaling-efficiency evidence (N vs 4N cores) is produced separately by
+tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_docs = int(os.environ.get("BENCH_DOCS", str(int(500_000 * sf))))
+
+    from theoremsearch_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.corpus import generate_documents, query_set
+    from theoremsearch_spark.query import topk
+    from theoremsearch_spark.stats import assign_doc_ids, extract_docs
+    from theoremsearch_spark.functions import dedup, similarity
+    from theoremsearch_spark.operators import relational
+
+    timings: dict[str, float] = {}
+    extras: dict = {"n_synth_docs": n_docs, "cpus": cpus}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    work = tempfile.mkdtemp(prefix="ts_bench_")
+    try:
+        # --- corpus synthesis (input prep — not engine throughput) -----
+        def gen():
+            generate_documents(spark, n_docs, partitions=cpus * 2).write.mode(
+                "overwrite"
+            ).parquet(f"{work}/documents")
+
+        timed("corpus_gen", gen)
+
+        # --- engine: build (read documents → extract → ids → index) ----
+        def build():
+            documents = spark.read.parquet(f"{work}/documents")
+            docs = assign_doc_ids(extract_docs(documents), num_partitions=cpus * 2)
+            docs.write.mode("overwrite").parquet(f"{work}/docs")
+            docs_r = spark.read.parquet(f"{work}/docs")
+            build_index(docs_r, f"{work}/index", n_buckets=cpus, resume=False,
+                        salt_threshold=max(1000, n_docs // 3), n_segments=8)
+            return docs_r
+
+        timed("engine_build", build)
+        extras["build_docs_per_sec"] = round(n_docs / timings["engine_build"], 1)
+
+        # --- engine: batch query serving -------------------------------
+        qs = query_set(n_docs)[["query_id", "query_text"]]
+
+        def serve():
+            hits = topk(spark, f"{work}/index", qs, k=10)
+            return hits.count()
+
+        rows = timed("engine_topk", serve)
+        extras["topk_rows"] = rows
+        extras["query_p50_est_sec"] = round(timings["engine_topk"] / len(qs), 4)
+        extras["queries_per_sec"] = round(len(qs) / timings["engine_topk"], 2)
+
+        # --- headline operators over the driver tables -----------------
+        heads = {
+            "pricing_summary": relational.q_pricing_summary,
+            "join_4way": relational.q_join_4way,
+            "join_latest_per_group": relational.q_join_latest_per_group,
+            "topk_two_stage": relational.q_topk_two_stage,
+            "dedup_ngram_jaccard": dedup.q_dedup_ngram_jaccard,
+            "dedup_minhash_lsh": dedup.q_dedup_minhash,
+            "ann_brute_topk": similarity.q_ann_brute_topk,
+        }
+        for name, fn in heads.items():
+            timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + BM25 batch top-k + headline operator suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extras": extras,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

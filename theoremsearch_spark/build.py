@@ -239,12 +239,17 @@ def build_index(
     from theoremsearch_spark import stats as stats_mod
 
     spark = docs.sparkSession
-    rows = term_rows(docs)
 
     done = completed_buckets(spark, f"{out_dir}/manifest") if resume else set()
     first_run = not done
 
     if first_run:
+        # stage 0: tokenize ONCE into a columnar staging table — reused by
+        # term_stats and the posting shuffle, and a resume checkpoint (a
+        # re-run never re-tokenizes). Dictionary-encoded term column keeps
+        # it ~the size of the raw text.
+        term_rows(docs).write.mode("overwrite").parquet(f"{out_dir}/term_rows")
+        rows = spark.read.parquet(f"{out_dir}/term_rows")
         tstats = stats_mod.term_stats(rows)
         tstats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
         n_docs, avgdl = stats_mod.doc_stats(docs)
@@ -253,6 +258,7 @@ def build_index(
             "n_docs long, avgdl double, k1 double, b double, block_size int, n_segments int, salt_threshold int",
         ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
     else:
+        rows = spark.read.parquet(f"{out_dir}/term_rows")
         meta = spark.read.parquet(f"{out_dir}/doc_stats").collect()[0]
         avgdl = float(meta["avgdl"])
 

@@ -1,0 +1,257 @@
+"""Deduplication operators — exact, blocked n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design notes (the point of each variant at 100 TB):
+  - exact: one md5-keyed groupBy — a single shuffle of (16-byte key,
+    doc_id); AQE handles bucket skew from boilerplate pages.
+  - blocked Jaccard: exact pair verification restricted to cheap blocks
+    (equal n_chars here; in production: URL host, simhash band, …) —
+    turns O(n²) into Σ block². SQL-expressible → DuckDB oracle.
+  - MinHash+LSH: shingle → 64-permutation signature (vectorized numpy
+    inside one pandas UDF — no per-row Python), band → bucket-join for
+    candidates, exact-Jaccard verify of candidates only. The classic
+    web-dedup pipeline (probabilistic recall ⇒ no SQL oracle; quality
+    locked by pytest against exhaustive Jaccard).
+  - SimHash: 64-bit signature, Hamming-ball candidates via 16-bit
+    chunk banding (any pair within Hamming ≤3 of equal signatures
+    shares ≥1 of 4 chunks — pigeonhole).
+
+All signatures use a keyed blake2b token hash — never Python's
+builtin hash(), which is salted per process and would break
+determinism across executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from theoremsearch_spark.operators.relational import t
+
+MINHASH_K = 64
+MINHASH_BANDS = 16  # 16 bands × 4 rows
+SHINGLE = 3
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.default_rng(42)
+_A = _rng.integers(1, _MERSENNE, MINHASH_K, dtype=np.int64).astype(np.uint64)
+_B = _rng.integers(0, _MERSENNE, MINHASH_K, dtype=np.int64).astype(np.uint64)
+
+
+def _token_hash64(tokens: list[str]) -> np.ndarray:
+    return np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """64-value MinHash signature over 3-token shingles."""
+    toks = text.split(" ")
+    shingles = (
+        [" ".join(toks[i : i + SHINGLE]) for i in range(len(toks) - SHINGLE + 1)]
+        if len(toks) >= SHINGLE
+        else [" ".join(toks)]
+    )
+    h = np.unique(_token_hash64(shingles)) % np.uint64(_MERSENNE)
+    # sig_i = min over shingles of (a_i*h + b_i) mod p  (vectorized outer)
+    vals = (h[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens weighted by tf."""
+    toks = text.split(" ")
+    if not toks:
+        return 0
+    h = _token_hash64(toks)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+_SIG_TYPE = T.ArrayType(T.LongType())
+
+
+@F.pandas_udf(_SIG_TYPE)
+def minhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda s: minhash_signature(s).astype(np.int64).tolist())
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    # store as signed 64-bit (two's complement) for Spark LongType
+    return text.map(lambda s: np.uint64(simhash64(s)).astype(np.int64).item())
+
+
+# --------------------------------------------------------------------------
+# operators
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup survivors: min doc_id per content fingerprint."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.lower(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Blocked exact Jaccard: pairs with equal n_chars and token-set
+    Jaccard ≥ 0.5. Deterministic ⇒ full DuckDB oracle."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.n_chars") == F.col("b.n_chars")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
+        F.array_union("a.toks", "b.toks")
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def exact_jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Verify candidate (doc_a, doc_b) pairs with exact token-set Jaccard."""
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    return (
+        candidates.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """MinHash → LSH band bucket-join → exact-Jaccard verification.
+
+    The shuffle moves (band_id, band_hash, doc_id) triples — tiny rows —
+    then the self-join happens per bucket; at web scale add a bucket-size
+    cap (skip mega-buckets = boilerplate) before the join.
+    """
+    sig = docs.select("doc_id", "text", minhash_udf(F.col("text")).alias("sig"))
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)])
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return exact_jaccard_pairs(docs, cands).filter(F.col("jaccard") >= threshold)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash Hamming-≤3 candidate pairs via 16-bit chunk banding."""
+    d = t(spark, sf_dir, "documents")
+    sig = d.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
+    chunks = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_pos", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_pos") == F.col("b.chunk_pos"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,  # probabilistic — rows-only check
+    "dedup_simhash": q_dedup_simhash,  # probabilistic — rows-only check
+}
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id
+    """,
+    "dedup_ngram_jaccard": """
+        WITH d AS (SELECT doc_id, n_chars,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.toks, b.toks)) * 1.0
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        FROM d a JOIN d b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+}

