@@ -38,7 +38,7 @@ def main() -> int:
     from theoremsearch_spark.build import build_index
     from theoremsearch_spark.corpus import generate_documents, query_set
     from theoremsearch_spark.query import topk
-    from theoremsearch_spark.stats import assign_doc_ids, extract_docs
+    from theoremsearch_spark.stats import prepare_docs
     from theoremsearch_spark.functions import dedup, similarity
     from theoremsearch_spark.operators import relational
 
@@ -64,9 +64,7 @@ def main() -> int:
         # --- engine: build (read documents → extract → ids → index) ----
         def build():
             documents = spark.read.parquet(f"{work}/documents")
-            docs = assign_doc_ids(extract_docs(documents), num_partitions=cpus * 2)
-            docs.write.mode("overwrite").parquet(f"{work}/docs")
-            docs_r = spark.read.parquet(f"{work}/docs")
+            docs_r = prepare_docs(documents, work, num_partitions=cpus * 2)
             build_index(docs_r, f"{work}/index", n_buckets=cpus, resume=False,
                         salt_threshold=max(1000, n_docs // 3), n_segments=8)
             return docs_r

@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("ts-build-index").getOrCreate()
     from theoremsearch_spark.build import build_index
     from theoremsearch_spark.corpus import generate_documents
-    from theoremsearch_spark.stats import assign_doc_ids, extract_docs
+    from theoremsearch_spark.stats import prepare_docs
 
     t0 = time.monotonic()
     if args.input.startswith("synth:"):
@@ -53,8 +53,7 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             docs_done = False
     if not docs_done:
-        docs = assign_doc_ids(extract_docs(documents))
-        docs.write.mode("overwrite").parquet(f"{args.out}/docs")
+        prepare_docs(documents, args.out)
     docs_r = spark.read.parquet(f"{args.out}/docs")
     result = build_index(
         docs_r,

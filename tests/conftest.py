@@ -37,12 +37,9 @@ def corpus_pdf(corpus_df):
 def index_dir(tmp_path_factory, spark, corpus_df):
     """Built index over the 2k corpus, shared across query tests."""
     from theoremsearch_spark.build import build_index
-    from theoremsearch_spark.stats import assign_doc_ids, extract_docs
+    from theoremsearch_spark.stats import prepare_docs
 
     d = str(tmp_path_factory.mktemp("index"))
-    docs = assign_doc_ids(extract_docs(corpus_df), num_partitions=8)
-    docs.persist()
-    docs.write.mode("overwrite").parquet(f"{d}/docs")
-    docs_r = spark.read.parquet(f"{d}/docs")
+    docs_r = prepare_docs(corpus_df, d, num_partitions=8)
     build_index(docs_r, f"{d}/index", salt_threshold=900, n_segments=4, n_buckets=8)
     return d

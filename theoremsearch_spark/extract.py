@@ -130,3 +130,37 @@ def term_tfs_udf(text: pd.Series) -> pd.Series:
 @F.pandas_udf(T.IntegerType())
 def doc_len_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: len(tokenize(t)))
+
+
+_EXTRACTED_TYPE = T.StructType(
+    [
+        T.StructField("extracted_text", T.StringType(), True),
+        T.StructField("doc_len", T.IntegerType(), False),
+        T.StructField("term_tfs", _TERM_TF_TYPE, False),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACTED_TYPE)
+def extract_all_udf(html: pd.Series) -> pd.DataFrame:
+    """html → (extracted_text, doc_len, term_tfs) in ONE Python pass.
+
+    The whole build pipeline crosses the JVM↔Python boundary exactly
+    once per document: extraction, tokenization, tf aggregation and
+    doc length all come out of this single Arrow batch. Everything
+    downstream (stats, salting, posting shuffle) is JVM-side column
+    work on the stored struct."""
+    texts, lens, tfs = [], [], []
+    for raw in html:
+        text = extract_text(raw)
+        counts: dict[str, int] = {}
+        n = 0
+        for tok in tokenize(text):
+            counts[tok] = counts.get(tok, 0) + 1
+            n += 1
+        texts.append(text)
+        lens.append(n)
+        tfs.append(list(counts.items()))
+    return pd.DataFrame(
+        {"extracted_text": texts, "doc_len": lens, "term_tfs": tfs}
+    )

@@ -217,14 +217,24 @@ def topk(
     pairs = pairs.rename(columns={"terms": "term"})
     all_terms = sorted(pairs["term"].unique().tolist())
 
-    qterm_df = spark.createDataFrame(pairs[["query_id", "term"]])
-    tstats = spark.read.parquet(f"{index_dir}/term_stats").filter(
-        F.col("term").isin(all_terms)
+    # term dictionary lookup: strings → (term_id, df); tiny (≤ #query terms)
+    tstats = (
+        spark.read.parquet(f"{index_dir}/term_stats")
+        .filter(F.col("term").isin(all_terms))
+        .toPandas()
     )
+    qterm = pairs.merge(tstats, on="term")  # drops unindexed terms
+    if qterm.empty:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    ids = [int(x) for x in qterm["term_id"].unique()]
+
+    # posting scan touches only the queried term_ids — an int64 IN-filter
+    # pushed into the parquet row-group stats
     blocks = spark.read.parquet(f"{index_dir}/postings").filter(
-        F.col("term").isin(all_terms)
+        F.col("term_id").isin(ids)
     )
-    fan = blocks.join(F.broadcast(qterm_df), "term").join(F.broadcast(tstats), "term")
+    qterm_df = spark.createDataFrame(qterm[["query_id", "term", "term_id", "df"]])
+    fan = blocks.join(F.broadcast(qterm_df), "term_id")
 
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_group(pdf, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k)

@@ -21,33 +21,42 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from theoremsearch_spark.extract import doc_len_udf, extract_text_udf
+from theoremsearch_spark.extract import extract_all_udf
 
-DOCS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("url", T.StringType(), False),
-        T.StructField("warc_ts", T.TimestampType(), True),
-        T.StructField("lang", T.StringType(), True),
-        T.StructField("extracted_text", T.StringType(), True),
-        T.StructField("doc_len", T.IntegerType(), True),
-    ]
-)
+DOCS_SCHEMA_FIELDS = [
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("extracted_text", T.StringType(), True),
+    T.StructField("doc_len", T.IntegerType(), True),
+]
+DOCS_SCHEMA = T.StructType(DOCS_SCHEMA_FIELDS)
 
 
 def extract_docs(documents: DataFrame) -> DataFrame:
-    """documents(url, warc_ts, html, text, lang) → extracted docs (no ids yet).
+    """documents(url, warc_ts, html, text, lang) → extracted+tokenized
+    docs (no ids yet): url, warc_ts, lang, extracted_text, doc_len,
+    term_tfs.
 
-    Extraction is one Arrow-batched pandas UDF over the binary column —
-    the whole-stage plan reads only (url, warc_ts, html, lang) from the
-    scan (column pruning; the `text` column is test-only ground truth).
+    ONE Arrow-batched pandas UDF over the binary column — the plan
+    reads only (url, warc_ts, html, lang) from the scan (column
+    pruning; `text` is test-only ground truth), and no later stage
+    re-enters Python.
     """
     return documents.select(
         "url",
         "warc_ts",
         "lang",
-        extract_text_udf(F.col("html")).alias("extracted_text"),
-    ).withColumn("doc_len", doc_len_udf(F.col("extracted_text")))
+        extract_all_udf(F.col("html")).alias("ex"),
+    ).select(
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("ex.extracted_text").alias("extracted_text"),
+        F.col("ex.doc_len").alias("doc_len"),
+        F.col("ex.term_tfs").alias("term_tfs"),
+    )
 
 
 def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -87,8 +96,109 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
             local += len(pdf)
             yield out
 
-    out = ordered.mapInPandas(assign, schema=DOCS_SCHEMA)
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [f for f in docs.schema.fields]
+    )
+    out = ordered.mapInPandas(assign, schema=out_schema)
+    out._ts_ordered_cache = ordered  # handle for the caller to unpersist
     return out
+
+
+def prepare_docs(documents: DataFrame, out_dir: str, num_partitions: int | None = None) -> DataFrame:
+    """documents → docs table (dense doc_id, extracted_text, doc_len,
+    term_tfs) in ONE narrow Python pass and ONE parquet write — no
+    full-data shuffle anywhere.
+
+      job 1  per-partition row counts (reads zero data columns — parquet
+             footer metadata + partition planning) → cumulative offsets
+      job 2  extract+tokenize+assign in a single mapInPandas:
+             doc_id = offset[partition] + row_index_within_partition
+
+    Determinism: Spark's file-partition planning is a pure function of
+    (files, maxPartitionBytes conf), and row order within a parquet
+    split is fixed, so doc_id assignment is reproducible run-to-run —
+    the distributed analog of the reference's insertion-order BIGSERIAL
+    (/root/reference/rds_schema.sql:22). Dense ids keep posting-list
+    delta-gaps ~1 byte and preserve block-range pruning.
+
+    The discarded alternative (global sort by url) costs a full-corpus
+    range shuffle + an extra materialization; at 100 TB that's the
+    difference between 1 and 3 passes over the data.
+    """
+    from theoremsearch_spark.extract import extract_text, tokenize
+
+    spark = documents.sparkSession
+    if num_partitions:
+        documents = documents.coalesce(num_partitions) if (
+            documents.rdd.getNumPartitions() > num_partitions
+        ) else documents
+
+    src = documents.select("url", "warc_ts", "lang", "html")
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in src.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [f for f in src.schema.fields if f.name != "html"]
+        + [
+            T.StructField("extracted_text", T.StringType(), True),
+            T.StructField("doc_len", T.IntegerType(), False),
+            T.StructField(
+                "term_tfs",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("term", T.StringType(), False),
+                            T.StructField("tf", T.IntegerType(), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
+    )
+
+    def extract_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            texts, lens, tfs = [], [], []
+            for raw in pdf["html"]:
+                text = extract_text(raw)
+                cnt: dict[str, int] = {}
+                n = 0
+                for tok in tokenize(text):
+                    cnt[tok] = cnt.get(tok, 0) + 1
+                    n += 1
+                texts.append(text)
+                lens.append(n)
+                tfs.append(list(cnt.items()))
+            out = pdf.drop(columns=["_pid", "html"])
+            out.insert(0, "doc_id", base + local + pd.RangeIndex(len(pdf)))
+            out["extracted_text"] = texts
+            out["doc_len"] = lens
+            out["term_tfs"] = tfs
+            local += len(pdf)
+            yield out
+
+    docs = src.withColumn("_pid", F.spark_partition_id()).mapInPandas(
+        extract_assign, schema=out_schema
+    )
+    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    return spark.read.parquet(f"{out_dir}/docs")
 
 
 def doc_stats(docs: DataFrame) -> tuple[int, float]:
