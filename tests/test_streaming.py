@@ -1,0 +1,195 @@
+"""Structured Streaming tests: incremental index generations match a
+from-scratch batch build (rank-identical), windowed/sessionized event
+aggregations match their batch equivalents."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import BM25Oracle
+from theoremsearch_spark.corpus import generate_documents, query_set
+from theoremsearch_spark.streaming.incremental import (
+    incremental_index,
+    sessionize_events,
+    topk_all_generations,
+    windowed_event_counts,
+)
+
+N_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def stream_index(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    inp, out, chk = str(root / "in"), str(root / "out"), str(root / "chk")
+    full = generate_documents(spark, N_DOCS, partitions=4).toPandas()
+    # two file drops → two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(full.iloc[:700]).repartition(1).write.parquet(f"{inp}/b0")
+    spark.createDataFrame(full.iloc[700:]).repartition(1).write.parquet(f"{inp}/b1")
+    incremental_index_wrapper(spark, inp, out, chk)
+    return {"out": out, "full": full}
+
+
+def incremental_index_wrapper(spark, inp, out, chk):
+    # wire maxFilesPerTrigger into the reader used by incremental_index
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.corpus import DOCUMENTS_SCHEMA
+    from theoremsearch_spark.stats import prepare_docs
+    from theoremsearch_spark.streaming.incremental import _generations
+
+    def process_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        gens = _generations(spark, out)
+        if any(g["gen"] == batch_id for g in gens):
+            return
+        base = sum(g["n_docs"] for g in gens)
+        gen_dir = f"{out}/gen_{batch_id}"
+        docs = prepare_docs(batch_df, gen_dir)
+        if base:
+            docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+            docs.write.mode("overwrite").parquet(f"{gen_dir}/docs_offset")
+            docs = spark.read.parquet(f"{gen_dir}/docs_offset")
+        n = docs.count()
+        build_index(docs, f"{gen_dir}/index", resume=False,
+                    salt_threshold=400, n_segments=4, n_buckets=8)
+        spark.createDataFrame(
+            [(int(batch_id), int(base), int(n))], "gen long, base long, n_docs long"
+        ).write.mode("append").parquet(f"{out}/gens")
+
+    q = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*")
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_incremental_generations_match_batch_oracle(spark, stream_index):
+    out = stream_index["out"]
+    full = stream_index["full"]
+    gens = spark.read.parquet(f"{out}/gens").toPandas().sort_values("gen")
+    assert len(gens) == 2, gens
+    assert gens["n_docs"].sum() == N_DOCS
+
+    # id space: union docs tables, dense 0..N-1 after offsets
+    docs_parts = []
+    for g in gens.itertuples():
+        p = f"{out}/gen_{g.gen}/docs" if g.base == 0 else f"{out}/gen_{g.gen}/docs_offset"
+        docs_parts.append(spark.read.parquet(p).select("doc_id", "url").toPandas())
+    all_docs = pd.concat(docs_parts).sort_values("doc_id").reset_index(drop=True)
+    assert (all_docs["doc_id"].to_numpy() == np.arange(N_DOCS)).all()
+
+    truth = all_docs.merge(full[["url", "text"]], on="url", validate="one_to_one")
+    oracle = BM25Oracle(truth)
+
+    qs = query_set(N_DOCS)[["query_id", "query_text"]].head(25)
+    hits = topk_all_generations(spark, out, qs, k=10).toPandas()
+    for qid, row in qs.set_index("query_id").iterrows():
+        want = oracle.topk(row["query_text"], k=10)
+        got = hits[hits["query_id"] == qid].sort_values("rank")
+        assert len(got) == len(want), qid
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), qid
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
+        )
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    # batch-vs-stream parity: run the same aggregation on a file stream
+    # and on the static frame
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(200),
+            "ts": pd.date_range("2024-01-01", periods=200, freq="13s"),
+            "user_id": [i % 7 for i in range(200)],
+            "event_type": [["click", "view", "error"][i % 3] for i in range(200)],
+            "value": [float(i % 11) for i in range(200)],
+        }
+    )
+    src = str(tmp_path / "events_in")
+    outdir = str(tmp_path / "events_out")
+    chk = str(tmp_path / "events_chk")
+    static = spark.createDataFrame(pdf)
+    static.repartition(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(static.schema).parquet(src)
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(outdir).toPandas()
+    want = (
+        static.groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    # append mode emits only windows finalized by the watermark: the last
+    # 10 minutes of event time stay in state at availableNow termination
+    cutoff = pdf["ts"].max() - pd.Timedelta(minutes=10) - pd.Timedelta(minutes=1)
+    want = want[want["window_start"] <= cutoff]
+    got = got[got["window_start"] <= cutoff]
+    key = ["window_start", "event_type"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[want.columns],
+        want.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert len(got) > 10  # the stream actually emitted finalized windows
+
+
+def test_sessionize_events(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 02:00",
+                 "2024-01-01 02:10", "2024-01-01 05:00"]
+            ),
+            "user_id": [1, 1, 1, 1, 1],
+            "event_type": ["click"] * 5,
+            "value": [1.0] * 5,
+        }
+    )
+    src = str(tmp_path / "sess_in")
+    outdir = str(tmp_path / "sess_out")
+    chk = str(tmp_path / "sess_chk")
+    static = spark.createDataFrame(pdf)
+    static.repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    q = (
+        sessionize_events(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(outdir).toPandas().sort_values("session_start")
+    # 30-minute gap ⇒ sessions (00:00,00:05), (02:00,02:10), (05:00); the
+    # last one is still open w.r.t. the final watermark (max_ts-10min), so
+    # append mode emits the first two
+    assert len(got) == 2
+    assert got["n_events"].tolist() == [2, 2]

@@ -196,6 +196,43 @@ def load_index_meta(spark: SparkSession, index_dir: str) -> dict:
     return {k: row[k] for k in ("n_docs", "avgdl", "k1", "b")}
 
 
+def topk_frames(
+    spark: SparkSession,
+    blocks: DataFrame,
+    tstats: pd.DataFrame,
+    queries: pd.DataFrame,
+    *,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int = 10,
+) -> DataFrame:
+    """Batch top-k over explicit frames: `blocks` = posting blocks
+    (possibly a union of index generations), `tstats` = pandas term
+    dictionary (term, term_id, df) already merged across generations."""
+    qt = queries.assign(terms=queries["query_text"].map(lambda s: sorted(set(tokenize(s)))))
+    pairs = qt[["query_id", "terms"]].explode("terms").dropna()
+    pairs = pairs.rename(columns={"terms": "term"})
+
+    qterm = pairs.merge(tstats, on="term")  # drops unindexed terms
+    if qterm.empty:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    ids = [int(x) for x in qterm["term_id"].unique()]
+
+    # posting scan touches only the queried term_ids — an int64 IN-filter
+    # pushed into the parquet row-group stats
+    blocks = blocks.filter(F.col("term_id").isin(ids))
+    qterm_df = spark.createDataFrame(qterm[["query_id", "term", "term_id", "df"]])
+    fan = blocks.join(F.broadcast(qterm_df), "term_id")
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_group(pdf, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k)
+
+    # applyInPandas shuffles by key itself — one task per query group
+    return fan.groupBy("query_id").applyInPandas(score, schema=TOPK_SCHEMA)
+
+
 def topk(
     spark: SparkSession,
     index_dir: str,
@@ -212,35 +249,16 @@ def topk(
     k1 = float(meta["k1"] if k1 is None else k1)
     b = float(meta["b"] if b is None else b)
 
-    qt = queries.assign(terms=queries["query_text"].map(lambda s: sorted(set(tokenize(s)))))
-    pairs = qt[["query_id", "terms"]].explode("terms").dropna()
-    pairs = pairs.rename(columns={"terms": "term"})
-    all_terms = sorted(pairs["term"].unique().tolist())
-
-    # term dictionary lookup: strings → (term_id, df); tiny (≤ #query terms)
+    all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
     tstats = (
         spark.read.parquet(f"{index_dir}/term_stats")
         .filter(F.col("term").isin(all_terms))
         .toPandas()
     )
-    qterm = pairs.merge(tstats, on="term")  # drops unindexed terms
-    if qterm.empty:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    ids = [int(x) for x in qterm["term_id"].unique()]
-
-    # posting scan touches only the queried term_ids — an int64 IN-filter
-    # pushed into the parquet row-group stats
-    blocks = spark.read.parquet(f"{index_dir}/postings").filter(
-        F.col("term_id").isin(ids)
+    blocks = spark.read.parquet(f"{index_dir}/postings")
+    return topk_frames(
+        spark, blocks, tstats, queries, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k
     )
-    qterm_df = spark.createDataFrame(qterm[["query_id", "term", "term_id", "df"]])
-    fan = blocks.join(F.broadcast(qterm_df), "term_id")
-
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_group(pdf, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k)
-
-    # applyInPandas shuffles by key itself — one task per query group
-    return fan.groupBy("query_id").applyInPandas(score, schema=TOPK_SCHEMA)
 
 
 def topk_with_urls(
