@@ -1,0 +1,89 @@
+"""Source/sink connector tests."""
+
+import io
+import json
+import zipfile
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from theoremsearch_spark.sources.readers import (
+    read_csv,
+    read_documents,
+    read_jsonl,
+    read_zip_json,
+)
+from theoremsearch_spark.sources.sinks import append_jsonl, upsert_parquet
+
+
+def test_read_documents_ts_range(spark, corpus_df, tmp_path):
+    p = str(tmp_path / "docs_src")
+    corpus_df.write.parquet(p)
+    full = read_documents(spark, p)
+    window = read_documents(spark, p, ts_from="2021-01-01", ts_to="2022-01-01")
+    assert 0 < window.count() < full.count()
+    years = window.select(F.year("warc_ts").alias("y")).distinct().collect()
+    assert {r["y"] for r in years} == {2021}
+    # the range predicate must reach the scan (pushed filters)
+    plan = window._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "warc_ts" in plan
+
+
+def test_read_csv_schema(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,alpha\n2,beta\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    out = read_csv(spark, str(p), schema).collect()
+    assert [(r["id"], r["name"]) for r in out] == [(1, "alpha"), (2, "beta")]
+
+
+def test_read_jsonl_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "out_jsonl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    append_jsonl(df, p)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    back = read_jsonl(spark, p, schema).orderBy("id").collect()
+    assert [(r["id"], r["v"]) for r in back] == [(1, "a"), (2, "b")]
+
+
+def test_read_zip_json(spark, tmp_path):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(5):
+            zf.writestr(f"m{i}.json", json.dumps({"tag": f"t{i}", "type": "theorem"}))
+        zf.writestr("ignore.txt", "not json")
+    (tmp_path / "arch.zip").write_bytes(buf.getvalue())
+    schema = T.StructType(
+        [T.StructField("tag", T.StringType()), T.StructField("type", T.StringType())]
+    )
+    out = read_zip_json(spark, str(tmp_path / "arch.zip"), schema).orderBy("tag").toPandas()
+    assert out["tag"].tolist() == [f"t{i}" for i in range(5)]
+    assert (out["type"] == "theorem").all()
+
+
+def test_upsert_parquet_key_semantics(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(100)], "k string, v int"
+    )
+    upsert_parquet(spark, d, v1, "k")
+    assert spark.read.parquet(d).count() == 100
+    # update 10 keys, add 5 new ones
+    v2 = spark.createDataFrame(
+        [(f"k{i}", 1000 + i) for i in range(10)] + [(f"n{i}", i) for i in range(5)],
+        "k string, v int",
+    )
+    upsert_parquet(spark, d, v2, "k")
+    out = spark.read.parquet(d)
+    assert out.count() == 105
+    updated = {r["k"]: r["v"] for r in out.filter(F.col("k").isin([f"k{i}" for i in range(10)])).collect()}
+    assert updated == {f"k{i}": 1000 + i for i in range(10)}
+    untouched = out.filter(F.col("k") == "k50").collect()[0]["v"]
+    assert untouched == 50
+    # idempotent re-run: same upsert again changes nothing
+    upsert_parquet(spark, d, v2, "k")
+    assert spark.read.parquet(d).count() == 105
