@@ -1,0 +1,70 @@
+"""Optimizer-behavior tests: the plans we want, not just the answers.
+
+Locks the §4 contract: predicate pushdown to the scan, column pruning,
+broadcast joins for small dims, TakeOrderedAndProject for top-k, and
+the posting scan's int64 IN-filter pushdown.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from theoremsearch_spark.operators import relational as R
+from theoremsearch_spark.plans.inspect import (
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_exchange_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_scan(spark):
+    df = R.t(spark, SF, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    pf = pushed_filters(df)
+    assert any("o_orderstatus" in p for p in pf), pf
+
+
+def test_column_pruning(spark):
+    df = R.t(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_join_4way_broadcasts_small_dims(spark):
+    df = R.q_join_4way(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    assert has_take_ordered(R.q_topk(spark, SF))
+
+
+def test_pricing_summary_single_shuffle(spark):
+    # scan → partial agg → one exchange → final agg (+ output ordering)
+    df = R.q_pricing_summary(spark, SF)
+    assert shuffle_exchange_count(df) <= 2
+
+
+def test_posting_scan_pushes_term_ids(spark, index_dir):
+    tstats = spark.read.parquet(f"{index_dir}/index/term_stats").limit(3).collect()
+    ids = [r["term_id"] for r in tstats]
+    blocks = spark.read.parquet(f"{index_dir}/index/postings").filter(
+        F.col("term_id").isin([int(i) for i in ids])
+    )
+    pf = pushed_filters(blocks)
+    assert any("term_id" in p for p in pf), pf
+
+
+def test_extraction_reads_only_needed_columns(spark, corpus_df, tmp_path):
+    # the docs-prep scan must not read the ground-truth `text` column
+    p = str(tmp_path / "c")
+    corpus_df.write.parquet(p)
+    from theoremsearch_spark.stats import extract_docs
+
+    src = spark.read.parquet(p)
+    cols = read_schema_columns(extract_docs(src))
+    assert "text" not in cols, cols
+    assert "html" in cols
