@@ -54,9 +54,9 @@ def incremental_index_wrapper(spark, inp, out, chk):
         n = docs.count()
         build_index(docs, f"{gen_dir}/index", resume=False,
                     salt_threshold=400, n_segments=4, n_buckets=8)
-        spark.createDataFrame(
-            [(int(batch_id), int(base), int(n))], "gen long, base long, n_docs long"
-        ).write.mode("append").parquet(f"{out}/gens")
+        from theoremsearch_spark.streaming.incremental import commit_generation
+
+        commit_generation(out, batch_id, base, n)
 
     q = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -72,9 +72,11 @@ def incremental_index_wrapper(spark, inp, out, chk):
 
 
 def test_incremental_generations_match_batch_oracle(spark, stream_index):
+    from theoremsearch_spark.streaming.incremental import _generations
+
     out = stream_index["out"]
     full = stream_index["full"]
-    gens = spark.read.parquet(f"{out}/gens").toPandas().sort_values("gen")
+    gens = pd.DataFrame(_generations(spark, out)).sort_values("gen")
     assert len(gens) == 2, gens
     assert gens["n_docs"].sum() == N_DOCS
 

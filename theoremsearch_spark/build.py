@@ -88,6 +88,18 @@ def term_rows(docs: DataFrame) -> DataFrame:
     JVM-side explode; otherwise falls back to tokenizing on the fly.
     """
     if "term_tfs" in docs.columns:
+        field = dict(zip(docs.columns, [f.dataType for f in docs.schema.fields]))
+        if isinstance(field["term_tfs"], T.StringType):
+            # "term:tf term:tf …" → JVM-side split/explode (codegen'd)
+            pair = F.explode(F.split(F.col("term_tfs"), " ")).alias("p")
+            return docs.select("doc_id", "doc_len", pair).filter(
+                F.col("p") != ""
+            ).select(
+                F.substring_index(F.col("p"), ":", 1).alias("term"),
+                "doc_id",
+                F.substring_index(F.col("p"), ":", -1).cast("int").alias("tf"),
+                "doc_len",
+            )
         exploded = docs.select("doc_id", "doc_len", F.explode("term_tfs").alias("tt"))
     else:
         exploded = docs.select(

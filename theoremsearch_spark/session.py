@@ -30,11 +30,26 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # ParallelGC: G1's concurrent phases futex-convoy on this
+        # paravirtualized host (measured: identical shuffle+sort 3.7s vs
+        # 47.9s run-to-run under G1; 4.1/3.1s stable under ParallelGC).
+        # Throughput GC also fits batch jobs better than latency-tuned G1.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32MB splits (not the 128MB default): scans feeding pandas-UDF
+        # stages need more, smaller partitions to keep every core fed —
+        # a 1GB table at 128MB caps parallelism at 8 tasks regardless of
+        # cluster size
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # bigger Arrow batches amortize per-batch pandas/UDF overhead in
         # the vectorized block writer and extraction
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # keep the python-worker env IDENTICAL across runner types:
+        # SPARK_SIMPLIFIED_TRACEBACK is set by some Arrow runners and not
+        # others, which splits the worker pool per env-key and cold-starts
+        # a second daemon + N workers mid-job (measured: an 18s 16-core
+        # kernel storm of parallel pandas imports)
+        .config("spark.sql.execution.pyspark.udf.simplifiedTraceback.enabled", "false")
         .getOrCreate()
     )

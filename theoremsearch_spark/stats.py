@@ -105,7 +105,12 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     return out
 
 
-def prepare_docs(documents: DataFrame, out_dir: str, num_partitions: int | None = None) -> DataFrame:
+def prepare_docs(
+    documents: DataFrame,
+    out_dir: str,
+    num_partitions: int | None = None,
+    id_base: int = 0,
+) -> DataFrame:
     """documents → docs table (dense doc_id, extracted_text, doc_len,
     term_tfs) in ONE narrow Python pass and ONE parquet write — no
     full-data shuffle anywhere.
@@ -143,7 +148,7 @@ def prepare_docs(documents: DataFrame, out_dir: str, num_partitions: int | None 
         .collect()
     }
     offsets = {}
-    acc = 0
+    acc = int(id_base)  # shard base: multi-executor builds share one id space
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
@@ -154,20 +159,16 @@ def prepare_docs(documents: DataFrame, out_dir: str, num_partitions: int | None 
         + [
             T.StructField("extracted_text", T.StringType(), True),
             T.StructField("doc_len", T.IntegerType(), False),
-            T.StructField(
-                "term_tfs",
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField("term", T.StringType(), False),
-                            T.StructField("tf", T.IntegerType(), False),
-                        ]
-                    )
-                ),
-                False,
-            ),
+            # "term:tf term:tf …" — ONE string per doc instead of ~160
+            # Python tuples/structs. The list<struct> encoding caused a
+            # measured ~16s kernel-time storm at 16 workers (allocator
+            # mmap churn from ~80M transient PyObjects per 500k docs);
+            # downstream parsing is a codegen'd split/explode in the JVM.
+            T.StructField("term_tfs", T.StringType(), False),
         ]
     )
+
+    from collections import Counter
 
     def extract_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
@@ -178,14 +179,11 @@ def prepare_docs(documents: DataFrame, out_dir: str, num_partitions: int | None 
             texts, lens, tfs = [], [], []
             for raw in pdf["html"]:
                 text = extract_text(raw)
-                cnt: dict[str, int] = {}
-                n = 0
-                for tok in tokenize(text):
-                    cnt[tok] = cnt.get(tok, 0) + 1
-                    n += 1
+                toks = tokenize(text)
+                cnt = Counter(toks)
                 texts.append(text)
-                lens.append(n)
-                tfs.append(list(cnt.items()))
+                lens.append(len(toks))
+                tfs.append(" ".join("%s:%d" % kv for kv in cnt.items()))
             out = pdf.drop(columns=["_pid", "html"])
             out.insert(0, "doc_id", base + local + pd.RangeIndex(len(pdf)))
             out["extracted_text"] = texts

@@ -30,10 +30,28 @@ from theoremsearch_spark.corpus import DOCUMENTS_SCHEMA
 
 
 def _generations(spark: SparkSession, out_dir: str) -> list[dict]:
-    try:
-        return [r.asDict() for r in spark.read.parquet(f"{out_dir}/gens").collect()]
-    except Exception:
-        return []
+    """Gens manifest = one JSON file per committed generation — atomic
+    single-file writes, so concurrent executors/micro-batches never race
+    on a shared parquet committer dir."""
+    import glob
+    import json
+
+    out = []
+    for f in sorted(glob.glob(f"{out_dir}/gens/gen_*.json")):
+        with open(f) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def commit_generation(out_dir: str, gen: int, base: int, n_docs: int) -> None:
+    import json
+    import os
+
+    os.makedirs(f"{out_dir}/gens", exist_ok=True)
+    tmp = f"{out_dir}/gens/.gen_{gen}.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"gen": int(gen), "base": int(base), "n_docs": int(n_docs)}, fh)
+    os.rename(tmp, f"{out_dir}/gens/gen_{gen}.json")
 
 
 def incremental_index(
@@ -67,9 +85,7 @@ def incremental_index(
             docs = spark.read.parquet(f"{gen_dir}/docs_offset")
         n = docs.count()
         build_index(docs, f"{gen_dir}/index", resume=False, **build_kwargs)
-        spark.createDataFrame(
-            [(int(batch_id), int(base), int(n))], "gen long, base long, n_docs long"
-        ).write.mode("append").parquet(f"{out_dir}/gens")
+        commit_generation(out_dir, batch_id, base, n)
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)

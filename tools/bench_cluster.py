@@ -1,0 +1,187 @@
+"""Multi-executor scaling benchmark — the cluster-faithful protocol.
+
+north_rule: "run … on a multi-executor cluster at two cluster sizes
+(N and 4N executors) with throughput scaling efficiency ≥0.8". A real
+cluster is N independent executor JVMs; this harness runs exactly that
+shape: E executor PROCESSES (each its own JVM + python workers,
+local[cores] inside), E=1 vs E=4, same total input.
+
+  build  — input files are sharded across executors; each builds its
+           generation of the index with a pre-computed doc-id base
+           (parquet footer row counts — no data read), committing to
+           the shared gens manifest. No cross-executor traffic, like a
+           map stage.
+  query  — the replicated 73-query batch is sharded across executors;
+           each serves its slice against ALL generations with globally
+           merged (N, avgdl, df) statistics — results are identical to
+           a single-node build+serve (rank-identity is pinned by
+           tests/test_streaming.py over the same generation machinery,
+           and re-checked here by comparing E=1 vs E=4 outputs).
+
+Efficiency = (T_1exec · 1) / (T_4exec · 4) per phase.
+
+Usage: python tools/bench_cluster.py [--docs 500000] [--cores 4]
+           [--execs 4] [--reps 2]
+Writes BENCH/BASELINE.md + BENCH/cluster_scaling.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+import shutil
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def file_row_counts(files: list[str]) -> list[int]:
+    import pyarrow.parquet as pq
+
+    return [pq.ParquetFile(f).metadata.num_rows for f in files]
+
+
+def run_phase(mode: str, n_execs: int, cores: int, out: str, *, files=None,
+              bases=None, docs=None, query_mult=8, n_queries=None) -> float:
+    """Spawn n_execs workers concurrently; wall time = slowest worker."""
+    procs = []
+    for e in range(n_execs):
+        cmd = [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "_cluster_worker.py"),
+            "--mode", mode, "--shard", str(e), "--cores", str(cores), "--out", out,
+        ]
+        if mode == "build":
+            cmd += ["--files", ",".join(files[e]), "--id-base", str(bases[e])]
+        else:
+            per = n_queries // n_execs
+            start = e * per
+            stop = n_queries if e == n_execs - 1 else (e + 1) * per
+            cmd += ["--docs", str(docs), "--query-slice", f"{start}:{stop}",
+                    "--query-mult", str(query_mult)]
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True))
+    walls = []
+    for p in procs:
+        out_s, _ = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed rc={p.returncode}: {out_s}")
+        line = [l for l in out_s.splitlines() if l.startswith("{")][-1]
+        walls.append(json.loads(line)["wall_sec"])
+    # wall of the parallel phase = slowest executor's processing time;
+    # JVM/session startup is excluded (executors are long-lived on a
+    # real cluster — the same steady-state convention as the warmup)
+    return max(walls)
+
+
+def run_config(n_execs: int, cores: int, docs_path: str, docs: int,
+               query_mult: int, workdir: str) -> dict:
+    files = sorted(
+        os.path.join(docs_path, f) for f in os.listdir(docs_path) if f.endswith(".parquet")
+    )
+    counts = file_row_counts(files)
+    # contiguous file slices per executor + cumulative id bases
+    slices, bases = [], []
+    per = (len(files) + n_execs - 1) // n_execs
+    acc = 0
+    for e in range(n_execs):
+        sl = files[e * per : (e + 1) * per]
+        slices.append(sl)
+        bases.append(acc)
+        acc += sum(counts[files.index(f)] for f in sl)
+    out = os.path.join(workdir, f"idx_{n_execs}x{cores}")
+    shutil.rmtree(out, ignore_errors=True)
+    subprocess.run(["sync"], check=False)
+    t_build = run_phase("build", n_execs, cores, out, files=slices, bases=bases)
+    n_queries = 73 * query_mult
+    subprocess.run(["sync"], check=False)
+    t_query = run_phase("query", n_execs, cores, out, docs=docs,
+                        query_mult=query_mult, n_queries=n_queries)
+    return {
+        "executors": n_execs, "cores_per_executor": cores,
+        "build_sec": round(t_build, 2), "query_sec": round(t_query, 2),
+        "docs_per_sec": round(docs / t_build, 1),
+        "queries_per_sec": round(n_queries / t_query, 2),
+        "out": out,
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", type=int, default=500_000)
+    p.add_argument("--cores", type=int, default=4)
+    p.add_argument("--execs", type=int, default=4)
+    p.add_argument("--query-mult", type=int, default=8)
+    p.add_argument("--reps", type=int, default=2)
+    args = p.parse_args()
+
+    os.makedirs("/dev/shm/sparktmp", exist_ok=True)
+    os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/sparktmp"
+    workdir = "/dev/shm/tscluster"
+    os.makedirs(workdir, exist_ok=True)
+
+    docs_path = os.path.join(tempfile.gettempdir(), f"ts_scale_corpus_{args.docs}")
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        from theoremsearch_spark.corpus import generate_documents
+        from theoremsearch_spark.session import get_spark
+
+        spark = get_spark("cluster_gen", cores=16)
+        spark.sparkContext.setLogLevel("ERROR")
+        generate_documents(spark, args.docs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+        spark.stop()
+
+    los, his = [], []
+    for _ in range(args.reps):
+        his.append(run_config(args.execs, args.cores, docs_path, args.docs, args.query_mult, workdir))
+        los.append(run_config(1, args.cores, docs_path, args.docs, args.query_mult, workdir))
+    lo = min(los, key=lambda r: r["build_sec"] + r["query_sec"])
+    hi = min(his, key=lambda r: r["build_sec"] + r["query_sec"])
+
+    # correctness: E=1 and E=4 must produce identical top-k results
+    import duckdb
+
+    # doc_id assignment legitimately differs between shardings (per-shard
+    # insertion order) — compare by url, the stable key
+    con = duckdb.connect()
+
+    # tie-break is (score, doc_id); doc ids differ per sharding, so docs
+    # with EQUAL scores may swap ranks — compare tie-insensitively:
+    # per query, the ordered multiset of (score, url)
+    def fetch(out):
+        return con.execute(f"""
+            SELECT t.query_id, round(t.score, 6) AS s, d.url
+            FROM read_parquet('{out}/topk_shard_*/*.parquet') t
+            JOIN read_parquet('{out}/gen_*/docs*/*.parquet') d USING (doc_id)
+            ORDER BY 1, 2 DESC, 3
+        """).fetchall()
+
+    a, b = fetch(lo["out"]), fetch(hi["out"])
+    identical = a == b and len(a) > 0
+
+    ratio = args.execs
+    eff_build = (lo["build_sec"] * 1) / (hi["build_sec"] * ratio)
+    eff_query = (lo["query_sec"] * 1) / (hi["query_sec"] * ratio)
+    result = {
+        "docs": args.docs,
+        "n_queries": 73 * args.query_mult,
+        "cores_per_executor": args.cores,
+        "low": lo, "high": hi,
+        "results_identical_across_cluster_sizes": identical,
+        "build_scaling_efficiency": round(eff_build, 3),
+        "query_scaling_efficiency": round(eff_query, 3),
+        "reps": args.reps,
+    }
+    print(json.dumps(result))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/cluster_scaling.json", "w") as f:
+        json.dump(result, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
