@@ -49,6 +49,9 @@ def _ensure_index(spark, sf_dir: str) -> str:
         build_index(
             docs, out, salt_threshold=200, n_segments=4, n_buckets=8, resume=False
         )
+        d.select("doc_id", "n_chars").write.mode("overwrite").parquet(
+            os.path.join(out, "docsmeta")
+        )
         open(marker, "w").close()
     return out
 
@@ -92,5 +95,73 @@ def _bm25_oracle_sql() -> str:
     """
 
 
-QUERIES = {"bm25_topk": q_bm25_topk}
-ORACLES = {"bm25_topk": _bm25_oracle_sql()}
+RESCORE_W = 0.1
+POOL = 50
+
+
+def q_bm25_topk_rescored(spark, sf_dir):
+    """Two-stage rank (reference W2): BM25 pool of 50 → rescore by
+    + w·ln(1+n_chars) → top-10 by (weighted DESC, score DESC, doc_id)."""
+    from theoremsearch_spark.query import topk_rescored
+
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    hits = topk_rescored(
+        spark, idx, os.path.join(idx, "docsmeta"), qs, k=K,
+        pool_factor=5, weight=RESCORE_W, weight_col="n_chars",
+    )
+    return hits.select(
+        "query_id",
+        "final_rank",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.round("weighted_score", 4).alias("weighted_score"),
+    ).orderBy("query_id", "final_rank")
+
+
+def _bm25_rescored_oracle_sql() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{term}')" for qid, text in HARNESS_QUERIES for term in sorted(set(text.split()))
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        q(query_id, term) AS (VALUES {qvals}),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * ({DEFAULT_K1} + 1)
+                       / (tf.tf + {DEFAULT_K1} * (1 - {DEFAULT_B} + {DEFAULT_B} * dl.dl / stats.avgdl))
+                   ) AS s
+            FROM tf JOIN q USING (term) JOIN df USING (term)
+                 JOIN dl USING (doc_id) CROSS JOIN stats
+            GROUP BY 1, 2),
+        pool AS (
+            SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS prank
+            FROM scored),
+        rescored AS (
+            SELECT p.query_id, p.doc_id, p.s,
+                   p.s + {RESCORE_W} * ln(1 + d.n_chars) AS ws
+            FROM pool p JOIN documents d USING (doc_id)
+            WHERE p.prank <= {POOL}),
+        final AS (
+            SELECT query_id, doc_id, s, ws,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY ws DESC, s DESC, doc_id ASC) AS final_rank
+            FROM rescored)
+        SELECT query_id, final_rank, doc_id,
+               round(s, 4) AS score, round(ws, 4) AS weighted_score
+        FROM final WHERE final_rank <= {K} ORDER BY query_id, final_rank
+    """
+
+
+QUERIES = {"bm25_topk": q_bm25_topk, "bm25_topk_rescored": q_bm25_topk_rescored}
+ORACLES = {
+    "bm25_topk": _bm25_oracle_sql(),
+    "bm25_topk_rescored": _bm25_rescored_oracle_sql(),
+}

@@ -261,6 +261,42 @@ def topk(
     )
 
 
+def topk_rescored(
+    spark: SparkSession,
+    index_dir: str,
+    docs_dir: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    *,
+    pool_factor: int = 10,
+    weight: float = 0.1,
+    weight_col: str = "doc_len",
+) -> DataFrame:
+    """Two-stage ranking — the reference's citation-weighted rescore
+    (/root/reference/streamlit_app.py:317-363): candidate pool of
+    max(50, pool_factor·k) by BM25, then
+    ``weighted_score = score + weight·ln(1 + weight_col)``, final top-k
+    by (weighted_score DESC, score DESC, doc_id ASC) — the reference's
+    exact ORDER BY shape (streamlit_app.py:362)."""
+    from pyspark.sql import Window as W
+
+    pool = max(50, pool_factor * k)
+    hits = topk(spark, index_dir, queries, k=pool)
+    meta = spark.read.parquet(docs_dir).select("doc_id", weight_col)
+    rescored = hits.join(meta, "doc_id").withColumn(
+        "weighted_score",
+        F.col("score") + F.lit(weight) * F.log(1.0 + F.col(weight_col)),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("weighted_score"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        rescored.withColumn("final_rank", F.row_number().over(w))
+        .filter(F.col("final_rank") <= k)
+        .select("query_id", "final_rank", "doc_id", "score", "weighted_score")
+    )
+
+
 def topk_with_urls(
     spark: SparkSession, index_dir: str, docs_dir: str, queries: pd.DataFrame, k: int = 10
 ) -> DataFrame:

@@ -33,10 +33,16 @@ def get_spark(
         # ParallelGC: G1's concurrent phases futex-convoy on this
         # paravirtualized host (measured: identical shuffle+sort 3.7s vs
         # 47.9s run-to-run under G1; 4.1/3.1s stable under ParallelGC).
-        # Throughput GC also fits batch jobs better than latency-tuned G1.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # GC threads are capped at the executor's core count — the JVM
+        # default (all host CPUs) makes co-located executors thrash.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores} "
+            + os.environ.get("SPARK_EXTRA_JAVA_OPTS", ""),
+        )
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # 32MB splits (not the 128MB default): scans feeding pandas-UDF
         # stages need more, smaller partitions to keep every core fed —
         # a 1GB table at 128MB caps parallelism at 8 tasks regardless of

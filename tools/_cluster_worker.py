@@ -36,7 +36,11 @@ def main() -> int:
     p.add_argument("--query-slice", help="start:stop over the replicated query batch")
     p.add_argument("--query-mult", type=int, default=8)
     p.add_argument("--k", type=int, default=10)
+    p.add_argument("--barrier", help="path of the go-file; worker touches <path>.ready_<shard> and waits")
     args = p.parse_args()
+
+    # co-located executors must split the host: heap sized per executor
+    os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
 
     from pyspark.sql import functions as F
 
@@ -51,6 +55,15 @@ def main() -> int:
     spark.range(0, args.cores * 4, numPartitions=args.cores * 4).select(
         doc_len_udf(F.col("id").cast("string")).alias("x")
     ).agg(F.sum("x")).collect()
+
+    # start barrier: every executor warms up, signals ready, and begins
+    # the timed phase together — otherwise one worker's timed window
+    # absorbs its siblings' JVM-boot/JIT storms
+    if args.barrier:
+        ready = f"{args.barrier}.ready_{args.shard}"
+        open(ready, "w").close()
+        while not os.path.exists(args.barrier):
+            time.sleep(0.05)
 
     t0 = time.monotonic()
     if args.mode == "build":
