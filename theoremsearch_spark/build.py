@@ -288,6 +288,34 @@ def _block_builder(avgdl: float, k1: float, b: float, block_size: int):
     return build
 
 
+def _block_builder_sorting(avgdl: float, k1: float, b: float, block_size: int):
+    """Builder over an UNSORTED hash-partitioned stream: materializes the
+    partition (all-int columns, ~50 MB per bucket at our sizes), numpy-
+    lexsorts by (term_id, segment, doc_id), then emits blocks in one
+    vectorized pass via the sorted builder's `process`.
+
+    Moving the sort from the JVM (UnsafeExternalSorter) into numpy costs
+    ~0.2 s per million postings and lets the map side use the bypass
+    hash shuffle writer — no Tungsten sort in the hot path at all."""
+    inner = _block_builder(avgdl, k1, b, block_size)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        order = np.lexsort(
+            (
+                pdf["doc_id"].to_numpy(np.int64),
+                pdf["segment"].to_numpy(np.int32),
+                pdf["term_id"].to_numpy(np.int64),
+            )
+        )
+        yield from inner(iter([pdf.iloc[order]]))
+
+    return build
+
+
 def completed_buckets(spark: SparkSession, manifest_dir: str) -> set[int]:
     try:
         rows = spark.read.parquet(manifest_dir).filter(F.col("status") == "done").select("bucket").collect()
@@ -308,6 +336,7 @@ def build_index(
     block_size: int = codec.BLOCK_SIZE,
     resume: bool = True,
     fail_after_buckets: int | None = None,
+    sort_in_python: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index under ``out_dir``.
 
@@ -365,12 +394,17 @@ def build_index(
         return {"buckets_built": 0, "resumed": True}
 
     todo = salted.filter(F.col("bucket").isin([int(x) for x in pending]))
-    shuffled = todo.repartition(len(pending), "bucket").sortWithinPartitions(
-        "term_id", "segment", "doc_id"
-    )
-    blocks = shuffled.mapInPandas(
-        _block_builder(avgdl, k1, b, block_size), schema=POSTINGS_SCHEMA
-    )
+    if sort_in_python:
+        # hash exchange only (bypass-merge shuffle writer); the builder
+        # numpy-lexsorts each bucket partition — see _block_builder_sorting
+        shuffled = todo.repartition(len(pending), "bucket")
+        builder = _block_builder_sorting(avgdl, k1, b, block_size)
+    else:
+        shuffled = todo.repartition(len(pending), "bucket").sortWithinPartitions(
+            "term_id", "segment", "doc_id"
+        )
+        builder = _block_builder(avgdl, k1, b, block_size)
+    blocks = shuffled.mapInPandas(builder, schema=POSTINGS_SCHEMA)
     blocks.write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/postings")
 
     # manifest: per-bucket lineage + metrics from the blocks just written
