@@ -86,13 +86,29 @@ def term_rows(docs: DataFrame) -> DataFrame:
     If the docs table carries the pre-tokenized `term_tfs` struct column
     (the prepare_docs path — one Python pass total), this is a pure
     JVM-side explode; otherwise falls back to tokenizing on the fly.
-    """
+
+    If docs carries a `filter_terms` array<string> column (metadata
+    predicates as index terms — `lang=en`, `source=src1`, …), those are
+    unioned in with tf=1: a filter is just another posting list, so
+    filtered serving (reference R3, /root/reference/streamlit_app.py:
+    276-282) intersects it like any term, salting included when the
+    filter matches half the corpus. The '=' separator can never collide
+    with tokenizer output ([a-z0-9]+ only)."""
+    extra = None
+    if "filter_terms" in docs.columns:
+        extra = docs.select(
+            F.explode("filter_terms").alias("term"),
+            "doc_id",
+            F.lit(1).alias("tf"),
+            "doc_len",
+        )
+        docs = docs.drop("filter_terms")
     if "term_tfs" in docs.columns:
         field = dict(zip(docs.columns, [f.dataType for f in docs.schema.fields]))
         if isinstance(field["term_tfs"], T.StringType):
             # "term:tf term:tf …" → JVM-side split/explode (codegen'd)
             pair = F.explode(F.split(F.col("term_tfs"), " ")).alias("p")
-            return docs.select("doc_id", "doc_len", pair).filter(
+            base = docs.select("doc_id", "doc_len", pair).filter(
                 F.col("p") != ""
             ).select(
                 F.substring_index(F.col("p"), ":", 1).alias("term"),
@@ -100,6 +116,7 @@ def term_rows(docs: DataFrame) -> DataFrame:
                 F.substring_index(F.col("p"), ":", -1).cast("int").alias("tf"),
                 "doc_len",
             )
+            return base.unionByName(extra) if extra is not None else base
         exploded = docs.select("doc_id", "doc_len", F.explode("term_tfs").alias("tt"))
     else:
         exploded = docs.select(
@@ -107,12 +124,13 @@ def term_rows(docs: DataFrame) -> DataFrame:
             "doc_len",
             F.explode(term_tfs_udf(F.col("extracted_text"))).alias("tt"),
         )
-    return exploded.select(
+    base = exploded.select(
         F.col("tt.term").alias("term"),
         "doc_id",
         F.col("tt.tf").alias("tf"),
         "doc_len",
     )
+    return base.unionByName(extra) if extra is not None else base
 
 
 def term_id_rows(docs: DataFrame) -> DataFrame:
@@ -371,6 +389,21 @@ def build_index(
             .withColumn("term_id", F.xxhash64("term"))
         )
         tstats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
+        # 64-bit term_id collision would silently merge two posting lists
+        # (birthday risk is material at 10^9+ distinct terms) — fail loudly
+        collided = (
+            spark.read.parquet(f"{out_dir}/term_stats")
+            .groupBy("term_id")
+            .agg(F.count_distinct("term").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if collided:
+            raise RuntimeError(
+                "xxhash64 term_id collision detected in term_stats — "
+                "two distinct terms share an id; widen the id or rehash"
+            )
         n_docs, avgdl = stats_mod.doc_stats(docs)
         spark.createDataFrame(
             [(n_docs, avgdl, float(k1), float(b), int(block_size), int(n_segments), int(salt_threshold))],
@@ -405,7 +438,14 @@ def build_index(
         )
         builder = _block_builder(avgdl, k1, b, block_size)
     blocks = shuffled.mapInPandas(builder, schema=POSTINGS_SCHEMA)
-    blocks.write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/postings")
+    # dynamic partition overwrite = crash-atomic bucket commit: a driver
+    # crash between the postings write and the manifest append leaves
+    # orphan bucket partitions, and the resumed run REPLACES exactly
+    # those partitions instead of appending duplicate blocks (which
+    # would double-count BM25 contributions at query time)
+    blocks.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket").parquet(f"{out_dir}/postings")
 
     # manifest: per-bucket lineage + metrics from the blocks just written
     written = spark.read.parquet(f"{out_dir}/postings").filter(

@@ -6,6 +6,12 @@ then the DuckDB oracle recomputes BM25 from first principles in pure
 SQL (tokenize → tf → df → dl → score → top-k). Matching hashes mean
 the entire build+query pipeline (codec included) reproduces the
 textbook formula, independently implemented twice.
+
+`bm25_topk_filtered` is the reference's R3 serving shape — conjunctive
+metadata predicates INSIDE the ranked query
+(/root/reference/streamlit_app.py:276-282): `lang`/`source` are indexed
+as filter-term posting lists at build time and intersected before any
+scoring; the oracle applies the same WHERE before ORDER BY/LIMIT.
 """
 
 from __future__ import annotations
@@ -29,11 +35,27 @@ HARNESS_QUERIES = [
     (4, "table sort order part"),
 ]
 K = 10
+_INDEX_VERSION = "v2"  # bump when index layout / build inputs change
+
+
+def _content_key(sf_dir: str) -> str:
+    """Cache key over the INPUT CONTENT (file sizes + mtimes), not just
+    the path — a regenerated parquet at the same path must invalidate
+    the cached index (round-1 staleness bug)."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    parts = [_INDEX_VERSION, sf_dir]
+    if os.path.isdir(p):
+        for name in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
 def _index_dir(sf_dir: str) -> str:
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"ts_harness_index_{key}")
+    return os.path.join(tempfile.gettempdir(), f"ts_harness_index_{_content_key(sf_dir)}")
 
 
 def _ensure_index(spark, sf_dir: str) -> str:
@@ -45,11 +67,16 @@ def _ensure_index(spark, sf_dir: str) -> str:
             "doc_id",
             F.col("text").alias("extracted_text"),
             F.size(F.split(F.col("text"), " ")).alias("doc_len"),
+            # metadata predicates as posting lists (reference R3)
+            F.array(
+                F.concat(F.lit("lang="), F.col("lang")),
+                F.concat(F.lit("source="), F.col("source")),
+            ).alias("filter_terms"),
         )
         build_index(
             docs, out, salt_threshold=200, n_segments=4, n_buckets=8, resume=False
         )
-        d.select("doc_id", "n_chars").write.mode("overwrite").parquet(
+        d.select("doc_id", "n_chars", "lang", "source").write.mode("overwrite").parquet(
             os.path.join(out, "docsmeta")
         )
         open(marker, "w").close()
@@ -65,12 +92,32 @@ def q_bm25_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-def _bm25_oracle_sql() -> str:
+# R3 filter set: one required term + one OR-group, mixed heavy/light
+# (lang=en matches ~45% of sf0.01 docs → salted list; sources are light)
+FILTERS = ["lang=en", ["source=src1", "source=src2", "source=src3"]]
+_FILTER_WHERE = "d.lang = 'en' AND d.source IN ('src1', 'src2', 'src3')"
+
+
+def q_bm25_topk_filtered(spark, sf_dir):
+    """Filtered top-k (reference R3): conjunctive metadata predicates
+    pushed into posting intersection — candidates outside the filter
+    never score, exactly WHERE-before-ORDER-BY."""
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    hits = topk(spark, idx, qs, k=K, filters=FILTERS)
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "rank")
+
+
+def _bm25_scored_cte() -> str:
+    """Shared CTE chain: textbook BM25 over `documents`, one score row
+    per (query, doc) with global corpus statistics."""
     qvals = ", ".join(
         f"({qid}, '{term}')" for qid, text in HARNESS_QUERIES for term in sorted(set(text.split()))
     )
     return f"""
-        WITH tok AS (
+        tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
@@ -85,11 +132,33 @@ def _bm25_oracle_sql() -> str:
                    ) AS s
             FROM tf JOIN q USING (term) JOIN df USING (term)
                  JOIN dl USING (doc_id) CROSS JOIN stats
-            GROUP BY 1, 2),
+            GROUP BY 1, 2)"""
+
+
+def _bm25_oracle_sql() -> str:
+    return f"""
+        WITH {_bm25_scored_cte()},
         ranked AS (
             SELECT query_id, doc_id, s,
                    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
             FROM scored)
+        SELECT query_id, rank, doc_id, round(s, 4) AS score
+        FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+    """
+
+
+def _bm25_filtered_oracle_sql() -> str:
+    # WHERE inside the ranked query: filter candidates on metadata, keep
+    # GLOBAL statistics (N, avgdl, df) — the reference's serving SQL shape
+    return f"""
+        WITH {_bm25_scored_cte()},
+        filtered AS (
+            SELECT s.* FROM scored s JOIN documents d USING (doc_id)
+            WHERE {_FILTER_WHERE}),
+        ranked AS (
+            SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+            FROM filtered)
         SELECT query_id, rank, doc_id, round(s, 4) AS score
         FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
     """
@@ -120,26 +189,8 @@ def q_bm25_topk_rescored(spark, sf_dir):
 
 
 def _bm25_rescored_oracle_sql() -> str:
-    qvals = ", ".join(
-        f"({qid}, '{term}')" for qid, text in HARNESS_QUERIES for term in sorted(set(text.split()))
-    )
     return f"""
-        WITH tok AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        q(query_id, term) AS (VALUES {qvals}),
-        scored AS (
-            SELECT q.query_id, tf.doc_id,
-                   sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-                       * tf.tf * ({DEFAULT_K1} + 1)
-                       / (tf.tf + {DEFAULT_K1} * (1 - {DEFAULT_B} + {DEFAULT_B} * dl.dl / stats.avgdl))
-                   ) AS s
-            FROM tf JOIN q USING (term) JOIN df USING (term)
-                 JOIN dl USING (doc_id) CROSS JOIN stats
-            GROUP BY 1, 2),
+        WITH {_bm25_scored_cte()},
         pool AS (
             SELECT query_id, doc_id, s,
                    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS prank
@@ -160,8 +211,13 @@ def _bm25_rescored_oracle_sql() -> str:
     """
 
 
-QUERIES = {"bm25_topk": q_bm25_topk, "bm25_topk_rescored": q_bm25_topk_rescored}
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "bm25_topk_filtered": q_bm25_topk_filtered,
+    "bm25_topk_rescored": q_bm25_topk_rescored,
+}
 ORACLES = {
     "bm25_topk": _bm25_oracle_sql(),
+    "bm25_topk_filtered": _bm25_filtered_oracle_sql(),
     "bm25_topk_rescored": _bm25_rescored_oracle_sql(),
 }

@@ -11,30 +11,55 @@ retrieval:
      IN (...)` predicate is pushed into the parquet scan, so the job
      reads a few MB of a multi-TB index;
   3. fan blocks out to queries with a broadcast (term → query) join;
-  4. one task per query group (`applyInPandas` over query_id — at real
-     batch sizes thousands of queries spread over all executors);
+  4. **segment-sharded scoring**: queries that touch a salted (heavy /
+     stopword) term are scored in one task per doc-segment
+     (`groupBy(query_id, serve_seg)`). A heavy term's segment-s blocks
+     route to exactly task (q, s) — never replicated — so no task ever
+     receives a whole stopword posting list; light lists (df ≤
+     salt_threshold, bounded bytes by construction) are replicated to
+     the S tasks and filtered to the task's doc residue. Segments are
+     doc-disjoint (build salts by doc_id % S), so per-segment top-k is
+     exact for its docs; the global answer is a tiny merge of S·k rows
+     per query. Queries with no heavy term keep the single-task path.
   5. inside the task: vectorized block-max pruning (MaxScore/WAND
      family): terms are processed rarest-first with exact partial
      scores; once the summed upper bound (idf·max_tf_norm) of the
-     remaining (long, stopword) lists falls below the running kth
-     score, those lists are only consulted for candidate docs, and only
-     the blocks whose [first_doc, last_doc] range intersects a
-     candidate (binary search on block metadata) are decoded at all;
+     remaining lists falls below the running kth score, those lists are
+     only consulted for candidate docs, and only the blocks whose
+     [first_doc, last_doc] range intersects a candidate are decoded;
   6. survivors are re-scored exactly in canonical term order (so engine
      scores are bit-compatible with the single-node oracle), then
-     top-k by (score DESC, doc_id ASC) — the reference's deterministic
-     tie-break (/root/reference/streamlit_app.py:362).
+     merged globally per query by (score DESC, doc_id ASC) — the
+     reference's deterministic tie-break
+     (/root/reference/streamlit_app.py:362).
 
-The final global `orderBy(score, doc_id).limit(k)` per query happens
-inside the group task; across queries results are just unioned (no
-global shuffle).
+Filtered search (reference R3 — every sidebar predicate applied INSIDE
+the ranked query, /root/reference/streamlit_app.py:276-282) has two
+pushdown paths, both applied before any scoring:
+
+  - **filter terms**: metadata predicates indexed at build time as
+    posting lists (`lang=en`, `source=src1`, … — build_index
+    `filter_terms` column). A conjunctive filter is a list of required
+    groups; each group is a single term or an OR-list of terms. The
+    scorer decodes the filter lists first (heavy filter lists are
+    salted and segment-routed like any stopword), intersects the
+    groups into an allowed-doc set, and scores only inside it — the
+    inverted-index analog of WHERE-before-ORDER-BY. This is the
+    100 TB path: no doc-table scan, no driver-side doc set.
+  - **allowed_docs**: an explicit doc_id set (from any ad-hoc
+    predicate over the docs table), broadcast to the scorer. Exact for
+    arbitrary predicates; intended for selective filters (the set is
+    materialized), not for "half the corpus".
+
+Both prune at the block level too: blocks whose [first_doc, last_doc]
+range contains no allowed doc are never decoded.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
 
 from theoremsearch_spark import codec
 from theoremsearch_spark.extract import tokenize
@@ -48,6 +73,18 @@ TOPK_SCHEMA = T.StructType(
     ]
 )
 
+_GROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+_EMPTY_GROUP = pd.DataFrame({"query_id": pd.Series(dtype="int32"),
+                             "doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+
 
 def idf(n_docs: int, df: np.ndarray) -> np.ndarray:
     """Lucene-style BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
@@ -57,69 +94,127 @@ def idf(n_docs: int, df: np.ndarray) -> np.ndarray:
     return np.log1p((n_docs - df + 0.5) / (df + 0.5))
 
 
-def _score_group(
-    pdf: pd.DataFrame, *, n_docs: int, avgdl: float, k1: float, b: float, k: int
-) -> pd.DataFrame:
-    """Score one query's posting blocks; returns top-k rows.
+_E3 = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
 
-    pdf columns: query_id, term, df, segment, block_id, first_doc,
-    last_doc, n_docs, max_tf_norm, doc_bytes, tf_bytes, dl_bytes.
+
+def _decode_run(
+    g: pd.DataFrame,
+    *,
+    q_segs: int,
+    seg: int,
+    restrict: np.ndarray | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one term's posting blocks (already sorted by segment,
+    block_id) into (doc_ids ascending, tfs, doc_lens) — one varbyte
+    decode call per byte stream, no per-block Python.
+
+    `restrict`: sorted doc_id array; blocks with no overlap are skipped
+    before decode, and postings outside it are dropped after.
+    `q_segs`/`seg`: when the query is segment-sharded, keep only docs of
+    this task's residue (heavy lists arrive pre-routed; light lists are
+    replicated and narrowed here)."""
+    if restrict is not None:
+        if restrict.size == 0:
+            return _E3
+        first = g["first_doc"].to_numpy(np.int64)
+        last = g["last_doc"].to_numpy(np.int64)
+        lo = np.searchsorted(restrict, first, side="left")
+        hit = (lo < restrict.size) & (restrict[np.minimum(lo, restrict.size - 1)] <= last)
+        g = g.iloc[np.flatnonzero(hit)]
+    if not len(g):
+        return _E3
+    nblk = g["n_docs"].to_numpy(np.int64)
+    gaps = codec.varbyte_decode(b"".join(g["doc_bytes"])).astype(np.int64)
+    tf = codec.varbyte_decode(b"".join(g["tf_bytes"])).astype(np.int64)
+    dl = codec.varbyte_decode(b"".join(g["dl_bytes"])).astype(np.int64)
+    # per-block cumsum: block-initial gap is the absolute doc_id, so
+    # absolute = global_cumsum - (global_cumsum just before the block)
+    cs = np.cumsum(gaps)
+    ends = np.cumsum(nblk)
+    before = np.concatenate(([0], cs[ends[:-1] - 1]))
+    di = cs - np.repeat(before, nblk)
+    if not np.all(di[:-1] < di[1:]):  # multiple segments → merge by doc
+        o = np.argsort(di, kind="stable")
+        di, tf, dl = di[o], tf[o], dl[o]
+    if q_segs > 1:
+        m = (di % q_segs) == seg
+        di, tf, dl = di[m], tf[m], dl[m]
+    if restrict is not None:
+        pos = np.searchsorted(restrict, di)
+        ok = (pos < restrict.size) & (restrict[np.minimum(pos, restrict.size - 1)] == di)
+        di, tf, dl = di[ok], tf[ok], dl[ok]
+    return di, tf, dl
+
+
+def _score_group(
+    pdf: pd.DataFrame,
+    *,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    allowed_global: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Score one (query, segment) group's posting blocks; returns this
+    segment's exact top-k as (query_id, doc_id, score) rows.
+
+    pdf columns: query_id, serve_seg, q_segs, n_fgroups, term, df,
+    is_filter, fgroup, segment, block_id, first_doc, last_doc, n_docs,
+    max_tf_norm, doc_bytes, tf_bytes, dl_bytes.
     """
     if pdf.empty:
-        return pd.DataFrame(columns=["query_id", "rank", "doc_id", "score"])
+        return _EMPTY_GROUP
     qid = int(pdf["query_id"].iloc[0])
+    q_segs = int(pdf["q_segs"].iloc[0]) if "q_segs" in pdf else 1
+    seg = int(pdf["serve_seg"].iloc[0]) if "serve_seg" in pdf else 0
+    n_fgroups = int(pdf["n_fgroups"].iloc[0]) if "n_fgroups" in pdf else 0
+
+    pdf = pdf.sort_values(["term", "segment", "block_id"])
+    if "is_filter" in pdf:
+        filt = pdf[pdf["is_filter"]]
+        pdf = pdf[~pdf["is_filter"]]
+    else:
+        filt = pdf.iloc[0:0]
+
+    # ---- resolve the allowed-doc set: broadcast set ∩ filter groups ----
+    allowed = None
+    if allowed_global is not None:
+        allowed = np.asarray(allowed_global, dtype=np.int64)
+        if q_segs > 1:
+            allowed = allowed[(allowed % q_segs) == seg]
+    if n_fgroups:
+        if filt["fgroup"].nunique() < n_fgroups:
+            # a required group has no postings in this segment → empty
+            return _EMPTY_GROUP
+        for _, grows in filt.groupby("fgroup", sort=True):
+            g_ids: np.ndarray | None = None
+            for _, trows in grows.groupby("term", sort=False):
+                di, _, _ = _decode_run(trows, q_segs=q_segs, seg=seg, restrict=None)
+                g_ids = di if g_ids is None else np.union1d(g_ids, di)
+            if g_ids is None or g_ids.size == 0:
+                return _EMPTY_GROUP
+            allowed = g_ids if allowed is None else np.intersect1d(
+                allowed, g_ids, assume_unique=True
+            )
+            if allowed.size == 0:
+                return _EMPTY_GROUP
+
+    if pdf.empty:
+        return _EMPTY_GROUP
 
     # per-term metadata (a term's segments all share df/idf)
-    terms = pdf.groupby("term", sort=True).agg(df=("df", "first")).reset_index()
+    terms = pdf.groupby("term", sort=True).agg(
+        df=("df", "first"), max_norm=("max_tf_norm", "max")
+    ).reset_index()
     terms["idf"] = idf(n_docs, terms["df"].to_numpy())
-    # list upper bound = idf * max over the term's blocks of max_tf_norm
-    ub = pdf.groupby("term")["max_tf_norm"].max()
-    terms["ub"] = terms["idf"].to_numpy() * ub.loc[terms["term"]].to_numpy()
+    terms["ub"] = terms["idf"].to_numpy() * terms["max_norm"].to_numpy()
+    term_idf = dict(zip(terms["term"], terms["idf"]))
     # process rarest-first (cheapest exact scoring first → early threshold)
     order = terms.sort_values(["df", "term"]).reset_index(drop=True)
 
-    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-
     by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
-
-    def decode_term_full(term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        g = by_term[term].sort_values(["segment", "block_id"])
-        ids, tfs, dls = [], [], []
-        for _, r in g.iterrows():
-            d, t_ = codec.decode_block(r["doc_bytes"], r["tf_bytes"])
-            ids.append(d.astype(np.int64))
-            tfs.append(t_.astype(np.int64))
-            dls.append(codec.varbyte_decode(r["dl_bytes"]).astype(np.int64))
-        di = np.concatenate(ids) if ids else np.empty(0, np.int64)
-        tf = np.concatenate(tfs) if tfs else np.empty(0, np.int64)
-        dl = np.concatenate(dls) if dls else np.empty(0, np.int64)
-        o = np.argsort(di, kind="stable")  # segments are doc-disjoint → merge
-        return di[o], tf[o], dl[o]
-
-    def decode_term_candidates(term: str, cand: np.ndarray):
-        """Decode only blocks whose [first_doc,last_doc] contains a candidate."""
-        if cand.size == 0:
-            return (np.empty(0, np.int64),) * 3
-        g = by_term[term]
-        first = g["first_doc"].to_numpy(np.int64)
-        last = g["last_doc"].to_numpy(np.int64)
-        # block survives if any candidate in range (cand sorted)
-        lo = np.searchsorted(cand, first, side="left")
-        hit = (lo < cand.size) & (cand[np.minimum(lo, cand.size - 1)] <= last)
-        g = g.iloc[np.flatnonzero(hit)]
-        ids, tfs, dls = [], [], []
-        for _, r in g.iterrows():
-            d, t_ = codec.decode_block(r["doc_bytes"], r["tf_bytes"])
-            ids.append(d.astype(np.int64))
-            tfs.append(t_.astype(np.int64))
-            dls.append(codec.varbyte_decode(r["dl_bytes"]).astype(np.int64))
-        if not ids:
-            return (np.empty(0, np.int64),) * 3
-        di = np.concatenate(ids)
-        tf = np.concatenate(tfs)
-        dl = np.concatenate(dls)
-        o = np.argsort(di, kind="stable")
-        return di[o], tf[o], dl[o]
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def tf_norm(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
         return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -136,7 +231,7 @@ def _score_group(
         if ids_acc.size >= k and suffix_ub[i] < threshold:
             stop_at = i
             break
-        di, tf, dl = decode_term_full(row["term"])
+        di, tf, dl = _decode_run(by_term[row["term"]], q_segs=q_segs, seg=seg, restrict=allowed)
         decoded[row["term"]] = (di, tf, dl)
         contrib = row["idf"] * tf_norm(tf, dl)
         if ids_acc.size == 0:
@@ -159,9 +254,11 @@ def _score_group(
         cand_ids = cand_ids[keep]
     cand_sorted = cand_ids  # already sorted (union1d invariant)
 
-    # decode remaining (long) lists only where candidates live
+    # decode remaining (long) lists only at blocks where candidates live
     for _, row in remaining.iterrows():
-        decoded[row["term"]] = decode_term_candidates(row["term"], cand_sorted)
+        decoded[row["term"]] = _decode_run(
+            by_term[row["term"]], q_segs=q_segs, seg=seg, restrict=cand_sorted
+        )
 
     # phase 3: exact re-score of candidates in canonical (lexicographic)
     # term order — bitwise-reproducible vs the single-node oracle
@@ -170,7 +267,7 @@ def _score_group(
         di, tf, dl = decoded[term]
         if di.size == 0 or cand_sorted.size == 0:
             continue
-        t_idf = float(terms.loc[terms["term"] == term, "idf"].iloc[0])
+        t_idf = float(term_idf[term])
         pos = np.searchsorted(cand_sorted, di)
         ok = (pos < cand_sorted.size) & (cand_sorted[np.minimum(pos, cand_sorted.size - 1)] == di)
         contrib = t_idf * tf_norm(tf[ok], dl[ok])
@@ -181,19 +278,83 @@ def _score_group(
     take = min(k, ids.size)
     # top-k by (score DESC, doc_id ASC); ids ascending → stable mergesort
     o = np.argsort(-sc, kind="stable")[:take]
-    return pd.DataFrame(
-        {
-            "query_id": qid,
-            "rank": np.arange(1, take + 1, dtype=np.int32),
-            "doc_id": ids[o],
-            "score": sc[o],
-        }
-    )
+    return pd.DataFrame({"query_id": qid, "doc_id": ids[o], "score": sc[o]})
 
 
 def load_index_meta(spark: SparkSession, index_dir: str) -> dict:
     row = spark.read.parquet(f"{index_dir}/doc_stats").collect()[0]
-    return {k: row[k] for k in ("n_docs", "avgdl", "k1", "b")}
+    keys = ("n_docs", "avgdl", "k1", "b", "n_segments", "salt_threshold")
+    return {k: row[k] for k in keys if k in row.__fields__}
+
+
+def _normalize_filters(filters) -> list[list[str]]:
+    """filters: list of conjunctive groups; each group a term (AND) or a
+    list of terms (OR-of-terms within the group)."""
+    out = []
+    for g in filters or []:
+        out.append([g] if isinstance(g, str) else list(g))
+    return out
+
+
+def _build_qterms(
+    queries: pd.DataFrame,
+    tstats: pd.DataFrame,
+    fgroups: list[list[str]],
+    salt_threshold: int,
+    n_segments: int,
+) -> pd.DataFrame | None:
+    """(query_id, term, term_id, df, is_filter, fgroup, q_segs,
+    n_fgroups) — the broadcast fan side. Returns None when a required
+    filter group has no indexed term (conjunction unsatisfiable)."""
+    qt = queries.assign(terms=queries["query_text"].map(lambda s: sorted(set(tokenize(s)))))
+    pairs = qt[["query_id", "terms"]].explode("terms").dropna()
+    pairs = pairs.rename(columns={"terms": "term"})
+    pairs["is_filter"] = False
+    pairs["fgroup"] = -1
+
+    if fgroups:
+        frows = pd.DataFrame(
+            [(gi, t) for gi, g in enumerate(fgroups) for t in g],
+            columns=["fgroup", "term"],
+        )
+        indexed = frows.merge(tstats[["term"]], on="term")
+        missing = set(range(len(fgroups))) - set(indexed["fgroup"].unique())
+        if missing:
+            return None  # an AND-group matches nothing in the index
+        qids = pd.DataFrame({"query_id": queries["query_id"].unique()})
+        f = frows.merge(qids, how="cross")
+        f["is_filter"] = True
+        pairs = pd.concat(
+            [pairs, f[["query_id", "term", "is_filter", "fgroup"]]], ignore_index=True
+        )
+
+    qterm = pairs.merge(tstats, on="term")  # drops unindexed scoring terms
+    if qterm.empty:
+        return None
+    heavy = qterm.groupby("query_id")["df"].max() > salt_threshold
+    q_segs = heavy.map(lambda h: n_segments if h else 1).rename("q_segs")
+    qterm = qterm.merge(q_segs.reset_index(), on="query_id")
+    qterm["n_fgroups"] = len(fgroups)
+    return qterm
+
+
+def _fan(spark: SparkSession, blocks: DataFrame, qterm: pd.DataFrame, salt_threshold: int) -> DataFrame:
+    """Blocks × queries with segment routing: a heavy term's segment-s
+    blocks go to exactly task (q, s) — never replicated; light blocks
+    (bounded bytes by the salt threshold) replicate to the query's S
+    tasks; single-task queries route everything to (q, 0)."""
+    qterm_df = spark.createDataFrame(
+        qterm[["query_id", "term", "term_id", "df", "is_filter", "fgroup", "q_segs", "n_fgroups"]]
+    )
+    fan = blocks.join(F.broadcast(qterm_df), "term_id")
+    return fan.withColumn(
+        "serve_seg",
+        F.explode(
+            F.when(F.col("q_segs") == 1, F.array(F.lit(0)))
+            .when(F.col("df") > F.lit(int(salt_threshold)), F.array(F.col("segment")))
+            .otherwise(F.sequence(F.lit(0), F.col("q_segs") - 1))
+        ),
+    )
 
 
 def topk_frames(
@@ -207,30 +368,57 @@ def topk_frames(
     k1: float,
     b: float,
     k: int = 10,
+    filters=None,
+    allowed_docs=None,
+    salt_threshold: int | None = None,
+    n_segments: int = 1,
 ) -> DataFrame:
     """Batch top-k over explicit frames: `blocks` = posting blocks
     (possibly a union of index generations), `tstats` = pandas term
-    dictionary (term, term_id, df) already merged across generations."""
-    qt = queries.assign(terms=queries["query_text"].map(lambda s: sorted(set(tokenize(s)))))
-    pairs = qt[["query_id", "terms"]].explode("terms").dropna()
-    pairs = pairs.rename(columns={"terms": "term"})
+    dictionary (term, term_id, df) already merged across generations.
 
-    qterm = pairs.merge(tstats, on="term")  # drops unindexed terms
-    if qterm.empty:
+    With `n_segments > 1` + `salt_threshold`, heavy-term queries are
+    segment-sharded (see module docstring); the per-query group shuffle
+    then moves O(segments·k) result rows, never whole posting lists."""
+    fgroups = _normalize_filters(filters)
+    if salt_threshold is None:
+        salt_threshold = 2**62  # nothing is heavy → single-task queries
+    qterm = _build_qterms(queries, tstats, fgroups, salt_threshold, n_segments)
+    if qterm is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
     ids = [int(x) for x in qterm["term_id"].unique()]
+
+    allowed_bc = None
+    if allowed_docs is not None:
+        arr = np.unique(np.asarray(list(allowed_docs), dtype=np.int64))
+        if arr.size == 0:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        allowed_bc = spark.sparkContext.broadcast(arr)
 
     # posting scan touches only the queried term_ids — an int64 IN-filter
     # pushed into the parquet row-group stats
     blocks = blocks.filter(F.col("term_id").isin(ids))
-    qterm_df = spark.createDataFrame(qterm[["query_id", "term", "term_id", "df"]])
-    fan = blocks.join(F.broadcast(qterm_df), "term_id")
+    fan = _fan(spark, blocks, qterm, salt_threshold)
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_group(pdf, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k)
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_group(
+            pdf,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            k1=k1,
+            b=b,
+            k=k,
+            allowed_global=None if allowed_bc is None else allowed_bc.value,
+        )
 
-    # applyInPandas shuffles by key itself — one task per query group
-    return fan.groupBy("query_id").applyInPandas(score, schema=TOPK_SCHEMA)
+    part = fan.groupBy("query_id", "serve_seg").applyInPandas(score, schema=_GROUP_SCHEMA)
+    # global merge: ≤ S·k tiny rows per query (TakeOrdered-shaped window)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
 
 def topk(
@@ -239,17 +427,42 @@ def topk(
     queries: pd.DataFrame,
     k: int = 10,
     *,
+    filters=None,
+    allowed_docs=None,
     k1: float | None = None,
     b: float | None = None,
 ) -> DataFrame:
     """Batch top-k: queries pandas(query_id, query_text) → Spark DF of
-    (query_id, rank, doc_id, score)."""
+    (query_id, rank, doc_id, score).
+
+    `filters`: conjunctive filter groups over build-time `filter_terms`
+    posting lists (each group a term or an OR-list) — reference R3.
+    `allowed_docs`: explicit doc_id whitelist (broadcast), for ad-hoc
+    predicates; combine freely with `filters`.
+
+    k1/b overrides that differ from the index's build-time values are
+    rejected: stored per-block `max_tf_norm` upper bounds are computed
+    with the build parameters, and pruning with foreign k1/b could
+    silently drop true top-k members."""
     meta = load_index_meta(spark, index_dir)
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
-    k1 = float(meta["k1"] if k1 is None else k1)
-    b = float(meta["b"] if b is None else b)
+    if k1 is not None and abs(float(k1) - float(meta["k1"])) > 1e-12:
+        raise ValueError(
+            f"k1={k1} differs from index build k1={meta['k1']}; "
+            "block-max pruning bounds would be unsound — rebuild the index"
+        )
+    if b is not None and abs(float(b) - float(meta["b"])) > 1e-12:
+        raise ValueError(
+            f"b={b} differs from index build b={meta['b']}; "
+            "block-max pruning bounds would be unsound — rebuild the index"
+        )
+    k1, b = float(meta["k1"]), float(meta["b"])
+    n_segments = int(meta.get("n_segments", 1) or 1)
+    salt_threshold = meta.get("salt_threshold")
 
     all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
+    for g in _normalize_filters(filters):
+        all_terms.extend(g)
     tstats = (
         spark.read.parquet(f"{index_dir}/term_stats")
         .filter(F.col("term").isin(all_terms))
@@ -257,7 +470,10 @@ def topk(
     )
     blocks = spark.read.parquet(f"{index_dir}/postings")
     return topk_frames(
-        spark, blocks, tstats, queries, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k
+        spark, blocks, tstats, queries,
+        n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k,
+        filters=filters, allowed_docs=allowed_docs,
+        salt_threshold=salt_threshold, n_segments=n_segments,
     )
 
 
@@ -271,17 +487,19 @@ def topk_rescored(
     pool_factor: int = 10,
     weight: float = 0.1,
     weight_col: str = "doc_len",
+    filters=None,
 ) -> DataFrame:
     """Two-stage ranking — the reference's citation-weighted rescore
     (/root/reference/streamlit_app.py:317-363): candidate pool of
     max(50, pool_factor·k) by BM25, then
     ``weighted_score = score + weight·ln(1 + weight_col)``, final top-k
     by (weighted_score DESC, score DESC, doc_id ASC) — the reference's
-    exact ORDER BY shape (streamlit_app.py:362)."""
-    from pyspark.sql import Window as W
-
+    exact ORDER BY shape (streamlit_app.py:362). Filters (if any) apply
+    at pool time, inside the ranked query — never after the pool, which
+    is the under-fill anti-pattern the reference itself warns of
+    (/root/reference/app_showcase_model.py:96-129)."""
     pool = max(50, pool_factor * k)
-    hits = topk(spark, index_dir, queries, k=pool)
+    hits = topk(spark, index_dir, queries, k=pool, filters=filters)
     meta = spark.read.parquet(docs_dir).select("doc_id", weight_col)
     rescored = hits.join(meta, "doc_id").withColumn(
         "weighted_score",

@@ -90,7 +90,9 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
         for pdf in batches:
-            base = offsets.get(int(pdf["_pid"].iloc[0]), 0) if len(pdf) else 0
+            # a pid missing from the count job means the two jobs planned
+            # partitions differently — duplicate doc_ids; fail loudly
+            base = offsets[int(pdf["_pid"].iloc[0])] if len(pdf) else 0
             out = pdf.drop(columns=["_pid"])
             out.insert(0, "doc_id", base + local + pd.RangeIndex(len(pdf)))
             local += len(pdf)
@@ -175,7 +177,9 @@ def prepare_docs(
         for pdf in batches:
             if pdf.empty:
                 continue
-            base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            # raise (never default to 0) if the extract job plans partitions
+            # differently from the count job — silent 0 = duplicate doc_ids
+            base = offsets[int(pdf["_pid"].iloc[0])]
             texts, lens, tfs = [], [], []
             for raw in pdf["html"]:
                 text = extract_text(raw)
@@ -196,7 +200,15 @@ def prepare_docs(
         extract_assign, schema=out_schema
     )
     docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
-    return spark.read.parquet(f"{out_dir}/docs")
+    out = spark.read.parquet(f"{out_dir}/docs")
+    n_written = out.count()  # parquet-footer count — no data read
+    expected = acc - int(id_base)
+    if n_written != expected:
+        raise RuntimeError(
+            f"doc_id assignment drift: counted {expected} rows but wrote "
+            f"{n_written} — partition planning changed between jobs"
+        )
+    return out
 
 
 def doc_stats(docs: DataFrame) -> tuple[int, float]:
