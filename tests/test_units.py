@@ -1,0 +1,124 @@
+"""Unit-extraction tests: stateful numbering (T10 analog), label
+capture + dedup (T11), fixpoint rewrite (T13/T17), UDTF parity, and
+the units → per-unit index pipeline."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from theoremsearch_spark.units import (
+    UNIT_SHIFT,
+    build_unit_index,
+    extract_units,
+    fixpoint_sub,
+    prepare_units,
+    units_udf,
+)
+
+DOC = b"""<html><body>
+<p id="intro">Preamble text before any heading.</p>
+<h1 id="sec-a">Alpha</h1><p>body a with a thm inside</p>
+<h2>Alpha One</h2><p id="lbl1">first labelled body</p>
+<h2>Alpha Two</h2><p id="lbl1">duplicate label body</p>
+<h1>Beta</h1><p>beta <b>bold</b> body</p>
+<h2>Beta One</h2><p>deep reset check</p>
+</body></html>"""
+
+
+def test_numbering_with_descendant_reset():
+    """h1 increments level 1 and resets level 2 — the reference's
+    `within` counter semantics (theorem_forms.py:13-136)."""
+    names = [u["name"] for u in extract_units(DOC)]
+    assert names == [
+        "preamble",
+        "Alpha 1.",
+        "Alpha One 1.1.",
+        "Alpha Two 1.2.",
+        "Beta 2.",
+        "Beta One 2.1.",  # level-2 counter reset after Beta
+    ]
+
+
+def test_labels_captured_removed_and_deduped():
+    units = extract_units(DOC)
+    by_name = {u["name"]: u for u in units}
+    assert by_name["preamble"]["label"] == "intro"
+    assert by_name["Alpha 1."]["label"] == "sec-a"
+    assert by_name["Alpha One 1.1."]["label"] == "lbl1"
+    # second lbl1 is a duplicate → nulled (latex_parse.py:367-392)
+    assert by_name["Alpha Two 1.2."]["label"] is None
+    # the anchor text never leaks into the body
+    assert "lbl1" not in by_name["Alpha One 1.1."]["body"]
+
+
+def test_fixpoint_rewrite_shorthand_and_whitespace():
+    assert fixpoint_sub("a  thm   and a lem") == "a theorem and a lemma"
+    # fixpoint: rules re-applied until stable, capped
+    assert fixpoint_sub("thms thms") == "theorem theorem"
+    assert "thm" not in extract_units(DOC)[1]["body"]  # applied in units
+
+
+def test_fixpoint_iteration_cap_terminates():
+    import re
+
+    # pathological self-feeding rule must terminate via the cap
+    out = fixpoint_sub("x", rules=[(re.compile("x"), "xx")], max_iters=5)
+    assert out == "x" * 32
+
+
+def test_udtf_parity_with_pure_function(spark):
+    """The Spark UDTF path returns byte-identical units to the pure
+    extractor — same contract as extract_text."""
+    docs = [(f"u{i}", DOC) for i in range(3)] + [("empty", b""), ("none", None)]
+    df = spark.createDataFrame(docs, "url string, html binary")
+    got = (
+        df.select("url", F.explode(units_udf("html")).alias("u"))
+        .select("url", "u.seq", "u.name", "u.body", "u.label", "u.level")
+        .toPandas()
+        .sort_values(["url", "seq"])
+    )
+    want = extract_units(DOC)
+    for url in ("u0", "u1", "u2"):
+        g = got[got["url"] == url].reset_index(drop=True)
+        assert len(g) == len(want)
+        for i, u in enumerate(want):
+            assert g.loc[i, "name"] == u["name"]
+            assert g.loc[i, "body"] == u["body"]
+            lbl = g.loc[i, "label"]
+            assert (lbl if pd.notna(lbl) else None) == u["label"]
+    assert (got["url"] == "empty").sum() == 0  # no units from empty html
+    assert (got["url"] == "none").sum() == 0
+
+
+def test_prepare_units_and_unit_index(spark, tmp_path):
+    """documents → units table → per-unit inverted index: the planted
+    marker token retrieves exactly its unit (not the whole doc)."""
+    docs = []
+    for i in range(40):
+        marker = f"zqmarker{i:03d}"
+        html = (
+            f"<html><body><h1>Doc {i}</h1><p>common filler words here</p>"
+            f"<h2>Special</h2><p>{marker} unique section body</p></body></html>"
+        ).encode()
+        docs.append((f"https://x.test/{i:03d}", html))
+    df = spark.createDataFrame(docs, "url string, html binary")
+    units = prepare_units(df, str(tmp_path))
+    upd = units.toPandas()
+    # composite id: unit_id >> SHIFT == doc_id, low bits == seq
+    uid = upd["unit_id"].to_numpy()
+    assert ((uid >> UNIT_SHIFT) == upd["doc_id"].to_numpy()).all()
+    assert ((uid & ((1 << UNIT_SHIFT) - 1)) == upd["seq"].to_numpy()).all()
+    assert upd.groupby("doc_id")["seq"].count().eq(2).all()  # Doc + Special
+
+    build_unit_index(units, str(tmp_path / "uindex"), salt_threshold=100,
+                     n_segments=2, n_buckets=4, resume=False)
+    from theoremsearch_spark.query import topk
+
+    qs = pd.DataFrame(
+        {"query_id": [0, 1], "query_text": ["zqmarker007 unique", "zqmarker033 unique"]}
+    )
+    hits = topk(spark, str(tmp_path / "uindex"), qs, k=3).toPandas()
+    top1 = hits[hits["rank"] == 1].set_index("query_id")["doc_id"]
+    want0 = upd.loc[upd["body"].str.contains("zqmarker007"), "unit_id"].iloc[0]
+    want1 = upd.loc[upd["body"].str.contains("zqmarker033"), "unit_id"].iloc[0]
+    assert top1[0] == want0 and top1[1] == want1

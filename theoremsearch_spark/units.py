@@ -1,0 +1,270 @@
+"""Unit extraction — the reference's core data model: one document →
+many searchable units.
+
+The reference's searchable row is the *extracted unit*, not the
+document: `theorem(theorem_id, paper_id, name, body, label)` with
+UNIQUE(paper_id, name) (/root/reference/rds_schema.sql:21-31), produced
+by a one-row-in/many-rows-out extractor
+(/root/reference/ec2/parse_papers/latex_parse.py:395-417). This module
+reproduces that shape over HTML:
+
+  - `extract_units(html)` — heading-delimited sections. Each unit gets
+      name   = "<heading text> <number>."  — the reference's
+               `"Title 3.2."` header shape, produced by a *stateful
+               per-document numbering simulation* (hierarchical
+               counters with descendant reset — the T10 analog of
+               /root/reference/ec2/parse_papers/theorem_forms.py:13-136);
+      body   = tag-stripped text until the next heading, cleaned by a
+               *fixpoint rewrite* (apply rules until no change, with an
+               iteration cap — the T13 analog of
+               /root/reference/ec2/parse_arxiv_papers/tex_method/
+               expand_latex_macros.py:170-211);
+      label  = first id="…"/name="…" anchor in the section, removed
+               from the body; duplicate labels within a document are
+               nulled (T11 —
+               /root/reference/ec2/parse_papers/latex_parse.py:367-392).
+    Content before the first heading becomes unit 0 ("preamble").
+  - `units_udf` — the Spark UDTF shape (U3): one Arrow-batched pandas
+    UDF returning ARRAY<STRUCT>, exploded JVM-side into unit rows.
+  - `prepare_units(documents, out_dir)` — documents → units table with
+    a composite unit_id = doc-offset·2^UNIT_SHIFT + seq in ONE Python
+    pass (no second extraction job for dense ids; within-document
+    posting gaps stay 1, cross-document gaps cost ~1 extra varbyte
+    byte — the honest trade against a second full extraction pass at
+    100 TB).
+
+Indexing units instead of documents is then just `build_index(units)`
+— unit_id plays doc_id, body plays extracted_text.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from theoremsearch_spark.extract import decode_bytes, tokenize
+
+UNIT_SHIFT = 8  # ≤ 256 units per document (raise on overflow — no silent drop)
+
+_HEADING_RE = re.compile(r"<h([1-6])\b([^>]*)>(.*?)</h\1\s*>", re.DOTALL | re.IGNORECASE)
+_ANCHOR_RE = re.compile(r"""\bid\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]*>")
+
+# fixpoint rules (longest/most-specific first — the reference's
+# longest-key-first substitution order, latex_parse.py:30,94):
+# shorthand normalization (T17 analog) + whitespace squeeze (T12)
+_FIXPOINT_RULES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"\bthms?\b"), "theorem"),
+    (re.compile(r"\blems?\b"), "lemma"),
+    (re.compile(r"\bprops?\b"), "proposition"),
+    (re.compile(r"\bcors?\b"), "corollary"),
+    (re.compile(r"\s+"), " "),
+]
+_FIXPOINT_MAX_ITERS = 10
+
+
+def fixpoint_sub(text: str, rules=None, max_iters: int = _FIXPOINT_MAX_ITERS) -> str:
+    """Apply rewrite rules repeatedly until the text stops changing —
+    the reference's nested-macro fixpoint expansion with recursion
+    pruning (expand_latex_macros.py:170-211). The iteration cap bounds
+    pathological self-feeding rules the same way the reference prunes
+    recursive macros."""
+    rules = _FIXPOINT_RULES if rules is None else rules
+    for _ in range(max_iters):
+        new = text
+        for pat, repl in rules:
+            new = pat.sub(repl, new)
+        if new == text:
+            break
+        text = new
+    return text.strip()
+
+
+def _strip(html: str) -> str:
+    s = _COMMENT_RE.sub(" ", html)
+    s = _SCRIPT_STYLE_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+        s = s.replace(ent, ch)
+    return s
+
+
+class _Numberer:
+    """Stateful per-document hierarchical numbering (T10 analog):
+    counters per heading level; entering level L increments counter L
+    and resets every deeper counter (the reference's `within` parents
+    with descendant reset, theorem_forms.py:13-136)."""
+
+    def __init__(self) -> None:
+        self.counters = [0] * 6
+
+    def next(self, level: int) -> str:
+        self.counters[level - 1] += 1
+        for i in range(level, 6):
+            self.counters[i] = 0
+        return ".".join(str(c) for c in self.counters[:level])
+
+
+def extract_units(html: bytes | None) -> list[dict]:
+    """HTML bytes → list of units (seq, name, body, label, level).
+
+    Deterministic, pure; the single source of truth the pandas-UDF path
+    wraps byte-identically (same contract as extract.extract_text)."""
+    if html is None:
+        return []
+    s = decode_bytes(html).replace("\x00", "")
+    matches = list(_HEADING_RE.finditer(s))
+    seen_labels: set[str] = set()
+    numberer = _Numberer()
+    units: list[dict] = []
+
+    def mk_unit(seq: int, name: str, raw_section: str, level: int) -> dict:
+        m = _ANCHOR_RE.search(raw_section)
+        label: str | None = None
+        if m:
+            label = m.group(1)
+            raw_section = raw_section[: m.start()] + raw_section[m.end():]
+            if label in seen_labels:  # duplicate labels nulled (T11)
+                label = None
+            else:
+                seen_labels.add(label)
+        body = fixpoint_sub(_strip(raw_section))
+        return {"seq": seq, "name": name, "body": body, "label": label, "level": level}
+
+    seq = 0
+    pre_end = matches[0].start() if matches else len(s)
+    preamble = s[:pre_end]
+    if _strip(preamble).strip():
+        units.append(mk_unit(seq, "preamble", preamble, 0))
+        seq += 1
+    for i, m in enumerate(matches):
+        level = int(m.group(1))
+        number = numberer.next(level)
+        title = fixpoint_sub(_strip(m.group(3)))
+        name = f"{title} {number}."  # the reference's "Title 3.2." shape
+        sec_end = matches[i + 1].start() if i + 1 < len(matches) else len(s)
+        raw_section = m.group(2) + s[m.end(): sec_end]  # heading attrs carry anchors
+        units.append(mk_unit(seq, name, raw_section, level))
+        seq += 1
+    return units
+
+
+_UNIT_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("seq", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("body", T.StringType(), False),
+            T.StructField("label", T.StringType(), True),
+            T.StructField("level", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_UNIT_TYPE)
+def units_udf(html: pd.Series) -> pd.Series:
+    """The U3 UDTF shape: one row in → many unit structs out; the
+    caller explodes JVM-side."""
+    return html.map(
+        lambda raw: [
+            (u["seq"], u["name"], u["body"], u["label"], u["level"])
+            for u in extract_units(raw)
+        ]
+    )
+
+
+UNITS_SCHEMA = T.StructType(
+    [
+        T.StructField("unit_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("body", T.StringType(), False),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("doc_len", T.IntegerType(), False),
+        T.StructField("term_tfs", T.StringType(), False),
+    ]
+)
+
+
+def prepare_units(documents: DataFrame, out_dir: str) -> DataFrame:
+    """documents(url, html, …) → units table in ONE narrow Python pass
+    (count job reads only parquet footers), parquet-written.
+
+    unit_id = (doc_offset + row) << UNIT_SHIFT | seq: composite ids keep
+    one extraction pass; build_index consumes the result directly
+    (unit_id → doc_id, body → text) with term_tfs pre-tokenized so no
+    later stage re-enters Python."""
+    from collections import Counter
+
+    spark = documents.sparkSession
+    src = documents.select("url", "html")
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in src.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            rows = []
+            for url, raw in zip(pdf["url"], pdf["html"]):
+                doc_id = base + local
+                local += 1
+                units = extract_units(raw)
+                if len(units) >= (1 << UNIT_SHIFT):
+                    raise ValueError(
+                        f"{url}: {len(units)} units exceeds 2^{UNIT_SHIFT} — "
+                        "raise UNIT_SHIFT"
+                    )
+                for u in units:
+                    toks = tokenize(u["body"])
+                    cnt = Counter(toks)
+                    rows.append(
+                        (
+                            (doc_id << UNIT_SHIFT) | u["seq"],
+                            doc_id,
+                            url,
+                            u["seq"],
+                            u["name"],
+                            u["body"],
+                            u["label"],
+                            len(toks),
+                            " ".join("%s:%d" % kv for kv in cnt.items()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in UNITS_SCHEMA.fields])
+
+    units = src.withColumn("_pid", F.spark_partition_id()).mapInPandas(
+        gen, schema=UNITS_SCHEMA
+    )
+    units.write.mode("overwrite").parquet(f"{out_dir}/units")
+    return spark.read.parquet(f"{out_dir}/units")
+
+
+def build_unit_index(units: DataFrame, out_dir: str, **kwargs) -> dict:
+    """Index units instead of documents: the reference's per-theorem
+    search semantic. Just an aliasing shim over build_index."""
+    from theoremsearch_spark.build import build_index
+
+    docs_like = units.select(
+        F.col("unit_id").alias("doc_id"), "doc_len", "term_tfs"
+    )
+    return build_index(docs_like, out_dir, **kwargs)
