@@ -1,0 +1,129 @@
+"""Probabilistic dedup quality tests — the correctness signal for the
+operators the driver can only rows-check (no SQL oracle):
+
+  - MinHash+LSH pair recall ≥ 0.9 at J ≥ 0.8 vs exhaustive token-set
+    Jaccard ground truth on a corpus with planted near-dups;
+  - SimHash chunk-banding recall == 1.0 at Hamming ≤ 3 (pigeonhole) —
+    engine pairs must EQUAL the exhaustive signature comparison;
+  - the mega-bucket cap: a planted boilerplate family (quadratic
+    candidate bomb) is skipped while normal near-dups survive.
+"""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from theoremsearch_spark.functions.dedup import (
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_pairs,
+)
+
+rng = np.random.default_rng(123)
+
+
+def _tokens(doc: int, n: int = 60) -> list[str]:
+    # disjoint vocabulary per doc → cross-pair Jaccard is exactly 0
+    return [f"t{doc:03d}x{j:02d}" for j in range(n)]
+
+
+@pytest.fixture(scope="module")
+def planted_corpus():
+    """120 base docs + 25 high-sim near-dups (J ≈ 0.90) + 10 mid-sim
+    (J ≈ 0.54, below the 0.8 threshold)."""
+    rows = []
+    for d in range(120):
+        rows.append(" ".join(_tokens(d)))
+    truth_hi = []
+    for i in range(25):  # replace 3/60 tokens → J = 57/63 ≈ 0.905
+        toks = _tokens(i)
+        for j in range(3):
+            toks[10 + j] = f"nd{i:03d}r{j}"
+        rows.append(" ".join(toks))
+        truth_hi.append((i, 120 + i))
+    for i in range(10):  # replace 18/60 → J = 42/78 ≈ 0.54
+        toks = _tokens(40 + i)
+        for j in range(18):
+            toks[20 + j] = f"md{i:03d}r{j}"
+        rows.append(" ".join(toks))
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(rows)), "text": rows, "n_chars": [len(r) for r in rows]}
+    )
+    return pdf, set(truth_hi)
+
+
+def _exhaustive_jaccard(pdf: pd.DataFrame, threshold: float) -> set[tuple[int, int]]:
+    toks = [set(t.split(" ")) for t in pdf["text"]]
+    out = set()
+    for a, b in itertools.combinations(range(len(toks)), 2):
+        inter = len(toks[a] & toks[b])
+        if inter and inter / len(toks[a] | toks[b]) >= threshold:
+            out.add((int(pdf["doc_id"].iloc[a]), int(pdf["doc_id"].iloc[b])))
+    return out
+
+
+def test_minhash_lsh_recall(spark, planted_corpus):
+    pdf, truth_hi = planted_corpus
+    truth = _exhaustive_jaccard(pdf, 0.8)
+    assert truth == truth_hi  # corpus construction sanity
+    docs = spark.createDataFrame(pdf)
+    got = minhash_lsh_pairs(docs, threshold=0.8).toPandas()
+    found = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"MinHash-LSH recall {recall} < 0.9"
+    # precision is exact by construction (candidates are Jaccard-verified)
+    assert found <= truth
+
+
+def test_minhash_lsh_mega_bucket_capped(spark, planted_corpus):
+    """60 identical boilerplate docs form 16 buckets of size 60; with
+    max_bucket=10 they are skipped BEFORE the self-join (no quadratic
+    blowup) while ordinary planted near-dups still come out."""
+    pdf, truth_hi = planted_corpus
+    mega_ids = list(range(1000, 1060))
+    mega = pd.DataFrame(
+        {
+            "doc_id": mega_ids,
+            "text": ["mega boiler plate page body " * 10] * 60,
+            "n_chars": [290] * 60,
+        }
+    )
+    docs = spark.createDataFrame(pd.concat([pdf, mega], ignore_index=True))
+    got = minhash_lsh_pairs(docs, threshold=0.8, max_bucket=10).toPandas()
+    found = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    mega_set = set(mega_ids)
+    assert not any(a in mega_set and b in mega_set for a, b in found)
+    recall = len(found & truth_hi) / len(truth_hi)
+    assert recall >= 0.9
+
+
+def test_simhash_recall_is_total(spark, planted_corpus):
+    """Pigeonhole: any pair within Hamming ≤ 3 shares ≥ 1 of the 4
+    16-bit chunks, so banding recall is exactly 1.0 — the engine's pair
+    set must EQUAL the exhaustive signature comparison."""
+    pdf, _ = planted_corpus
+    # add exact dups (h=0) and 1-token edits (small h) to guarantee
+    # some pairs inside the Hamming ball
+    extra = []
+    for i in range(8):
+        base = pdf["text"].iloc[i]
+        extra.append((2000 + 2 * i, base))
+        extra.append((2001 + 2 * i, base.replace(f"t{i:03d}x30", "editedtok", 1)))
+    allpdf = pd.concat(
+        [pdf, pd.DataFrame({"doc_id": [e[0] for e in extra], "text": [e[1] for e in extra],
+                            "n_chars": [len(e[1]) for e in extra]})],
+        ignore_index=True,
+    )
+    sigs = {int(r.doc_id): simhash64(r.text) for r in allpdf.itertuples()}
+    truth = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 3:
+            truth.add((a, b))
+    assert truth, "fixture produced no Hamming-≤3 pairs"
+    docs = spark.createDataFrame(allpdf)
+    got = simhash_pairs(docs).toPandas()
+    found = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    assert found == truth

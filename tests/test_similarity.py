@@ -1,0 +1,101 @@
+"""ANN quality tests: LSH-bucketed (multiprobe) recall@10 vs the exact
+brute-force baseline on a clustered synthetic embedding corpus — the
+correctness signal for the rows-only `ann_lsh_topk` harness entry."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from theoremsearch_spark.functions.similarity import ann_lsh_topk, brute_force_topk
+
+DIM = 16
+N_CLUSTERS = 30
+PER_CLUSTER = 10
+N_QUERIES = 8
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb_frames(spark):
+    rng = np.random.default_rng(99)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    vecs = []
+    for c in range(N_CLUSTERS):
+        pts = centers[c] + 0.05 * rng.standard_normal((PER_CLUSTER, DIM))
+        vecs.extend(pts)
+    vecs = np.asarray(vecs, dtype=np.float32)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], schema
+    )
+    qschema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("qvec", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    queries = spark.createDataFrame(
+        [
+            (q, [float(x) for x in vecs[q * PER_CLUSTER]])
+            for q in range(N_QUERIES)
+        ],
+        qschema,
+    )
+    emb.persist().count()
+    return emb, queries
+
+
+def test_brute_force_finds_cluster_mates(spark, emb_frames):
+    """Sanity on the exact baseline: a query vector's top-10 are its own
+    cluster (10 points at cosine ≈ 1)."""
+    emb, queries = emb_frames
+    got = brute_force_topk(emb, queries, k=K).toPandas()
+    for q in range(N_QUERIES):
+        ids = set(got.loc[got["query_id"] == q, "vec_id"].astype(int))
+        cluster = set(range(q * PER_CLUSTER, (q + 1) * PER_CLUSTER))
+        assert len(ids & cluster) == PER_CLUSTER
+
+
+def test_ann_lsh_recall(spark, emb_frames):
+    """Multiprobe LSH recall@10 vs brute force ≥ 0.8 on clustered data
+    (docstring contract of functions/similarity.py)."""
+    emb, queries = emb_frames
+    exact = brute_force_topk(emb, queries, k=K).toPandas()
+    approx = ann_lsh_topk(emb, queries, DIM, k=K).toPandas()
+    recalls = []
+    for q in range(N_QUERIES):
+        want = set(exact.loc[exact["query_id"] == q, "vec_id"].astype(int))
+        got = set(approx.loc[approx["query_id"] == q, "vec_id"].astype(int))
+        recalls.append(len(want & got) / len(want))
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.8, f"ANN-LSH recall@10 {mean_recall} < 0.8 ({recalls})"
+
+
+def test_ann_lsh_candidates_are_bucketed(spark, emb_frames):
+    """The scale property: ANN scores only bucket-joined candidates —
+    the scored row count is far below the full n·q cross product."""
+    from theoremsearch_spark.functions.similarity import LSH_BITS, PLANES_SEED, lsh_bucket
+    from pyspark.sql import functions as F
+
+    emb, queries = emb_frames
+    planes = np.random.default_rng(PLANES_SEED).standard_normal((LSH_BITS, DIM))
+    bucketed = emb.withColumn("bucket", lsh_bucket("embedding", planes))
+    qb = queries.withColumn("bucket", lsh_bucket("qvec", planes))
+    probes = qb.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)],
+            )
+        ).alias("bucket"),
+    )
+    n_candidates = bucketed.join(probes, "bucket").count()
+    n_total = emb.count() * queries.count()
+    assert n_candidates < 0.5 * n_total

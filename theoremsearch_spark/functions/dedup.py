@@ -5,16 +5,23 @@ Scale design notes (the point of each variant at 100 TB):
   - exact: one md5-keyed groupBy — a single shuffle of (16-byte key,
     doc_id); AQE handles bucket skew from boilerplate pages.
   - blocked Jaccard: exact pair verification restricted to cheap blocks
-    (equal n_chars here; in production: URL host, simhash band, …) —
-    turns O(n²) into Σ block². SQL-expressible → DuckDB oracle.
+    (length BANDS of n_chars — each doc joins its own and the next
+    band, so ±1-char near-dups across a boundary are never missed and
+    no exact-length mega-block forms) — turns O(n²) into Σ block².
+    SQL-expressible → DuckDB oracle.
   - MinHash+LSH: shingle → 64-permutation signature (vectorized numpy
     inside one pandas UDF — no per-row Python), band → bucket-join for
-    candidates, exact-Jaccard verify of candidates only. The classic
-    web-dedup pipeline (probabilistic recall ⇒ no SQL oracle; quality
-    locked by pytest against exhaustive Jaccard).
+    candidates, exact-Jaccard verify of candidates only. Band buckets
+    larger than `max_bucket` (boilerplate) are skipped BEFORE the
+    self-join — the quadratic-mega-bucket guard. Probabilistic recall
+    ⇒ no SQL oracle; recall ≥ 0.9 at J ≥ 0.8 is locked by pytest
+    (tests/test_dedup.py::test_minhash_lsh_recall) against
+    exact_jaccard_pairs ground truth.
   - SimHash: 64-bit signature, Hamming-ball candidates via 16-bit
     chunk banding (any pair within Hamming ≤3 of equal signatures
-    shares ≥1 of 4 chunks — pigeonhole).
+    shares ≥1 of 4 chunks — pigeonhole ⇒ recall 1.0 at h ≤ 3, locked
+    by tests/test_dedup.py::test_simhash_recall_is_total). Same
+    mega-bucket cap.
 
 All signatures use a keyed blake2b token hash — never Python's
 builtin hash(), which is salted per process and would break
@@ -109,25 +116,43 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+LENGTH_BAND = 32  # chars per blocking band
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Blocked exact Jaccard: pairs with equal n_chars and token-set
-    Jaccard ≥ 0.5. Deterministic ⇒ full DuckDB oracle."""
+    """Banded exact Jaccard: candidate pairs whose n_chars length BANDS
+    differ by ≤ 1 (each doc explodes to keys {band, band+1}; a pair
+    matches iff the key sets intersect iff |band_a − band_b| ≤ 1 — an
+    equi-join, never a theta-join), verified with token-set
+    Jaccard ≥ 0.5. Unlike exact-length blocking this catches ±1-char
+    near-dups across a band boundary and cannot form a mega-block out
+    of one popular exact length. Deterministic ⇒ full DuckDB oracle."""
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+        "doc_id",
+        F.floor(F.col("n_chars") / LENGTH_BAND).alias("band"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.n_chars") == F.col("b.n_chars")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    keyed = d.select(
+        "doc_id", "band", "toks",
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("key"),
     )
-    jac = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
-        F.array_union("a.toks", "b.toks")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        # same-band pairs share BOTH keys {band, band+1}: keep exactly the
+        # key == greatest(bands) match — dedup as a filter, not a shuffle
+        .filter(F.col("a.key") == F.greatest(F.col("a.band"), F.col("b.band")))
+        .select("a.doc_id", "a.toks", F.col("b.doc_id").alias("doc_b"),
+                F.col("b.toks").alias("toks_b"))
+    )
+    jac = F.size(F.array_intersect("toks", "toks_b")) / F.size(
+        F.array_union("toks", "toks_b")
     )
     return (
         pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
             F.round(jac, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
@@ -155,12 +180,20 @@ def exact_jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+DEFAULT_MAX_BUCKET = 1000  # band buckets above this are boilerplate — skip
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.8, max_bucket: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
     """MinHash → LSH band bucket-join → exact-Jaccard verification.
 
     The shuffle moves (band_id, band_hash, doc_id) triples — tiny rows —
-    then the self-join happens per bucket; at web scale add a bucket-size
-    cap (skip mega-buckets = boilerplate) before the join.
+    then the self-join happens per bucket. Buckets larger than
+    `max_bucket` are dropped BEFORE the self-join: one boilerplate
+    bucket of 1M docs would otherwise self-join into 10¹² candidate
+    pairs. (Skipped buckets are near-identical boilerplate families —
+    exact dedup catches their identical members far cheaper.)
     """
     sig = docs.select("doc_id", "text", minhash_udf(F.col("text")).alias("sig"))
     rows_per_band = MINHASH_K // MINHASH_BANDS
@@ -175,6 +208,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+    ok = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .drop("n")
+    )
+    bands = bands.join(ok, ["band", "band_hash"])
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -195,10 +235,12 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
-def q_dedup_simhash(spark, sf_dir):
-    """SimHash Hamming-≤3 candidate pairs via 16-bit chunk banding."""
-    d = t(spark, sf_dir, "documents")
-    sig = d.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """SimHash Hamming-≤h candidate pairs via 16-bit chunk banding
+    (pigeonhole: h ≤ 3 ⟹ ≥1 of 4 chunks equal ⟹ recall 1.0, locked by
+    pytest). Mega-buckets (> max_bucket) skipped before the self-join."""
+    sig = docs.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
     chunks = sig.select(
         "doc_id",
         "sh",
@@ -211,6 +253,13 @@ def q_dedup_simhash(spark, sf_dir):
             )
         ).alias("chunk_pos", "chunk"),
     )
+    ok = (
+        chunks.groupBy("chunk_pos", "chunk")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .drop("n")
+    )
+    chunks = chunks.join(ok, ["chunk_pos", "chunk"])
     a = chunks.alias("a")
     b = chunks.alias("b")
     cands = (
@@ -227,7 +276,12 @@ def q_dedup_simhash(spark, sf_dir):
         )
         .distinct()
     )
-    return cands.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+    return cands.filter(F.col("hamming") <= max_hamming).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash Hamming-≤3 near-dup pairs over the documents table."""
+    return simhash_pairs(t(spark, sf_dir, "documents"))
 
 
 QUERIES = {
@@ -242,14 +296,14 @@ ORACLES = {
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id
     """,
-    "dedup_ngram_jaccard": """
-        WITH d AS (SELECT doc_id, n_chars,
+    "dedup_ngram_jaccard": f"""
+        WITH d AS (SELECT doc_id, CAST(floor(n_chars / {LENGTH_BAND}.0) AS BIGINT) AS band,
                           list_distinct(string_split(text, ' ')) AS toks
                    FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(len(list_intersect(a.toks, b.toks)) * 1.0
                      / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-        FROM d a JOIN d b ON a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        FROM d a JOIN d b ON abs(a.band - b.band) <= 1 AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.toks, b.toks)) * 1.0
               / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
         ORDER BY doc_a, doc_b

@@ -6,10 +6,12 @@
     shuffle except the final per-query top-k (TakeOrderedAndProject
     shape via window row_number over few query groups).
   - LSH-bucketed ANN (random hyperplanes): the 100 TB path. Corpus
-    vectors are hashed once into sign-pattern buckets; queries probe
-    only their bucket (and optionally neighbors) — candidate set is
-    ~n/2^bits of the corpus per probe. Probabilistic recall ⇒ rows-only
-    driver check; recall vs brute force is locked by pytest.
+    vectors are hashed once into sign-pattern buckets; queries
+    multiprobe their own bucket plus every bucket at Hamming distance 1
+    (1 + bits probes) — candidate set is ~n·(1+bits)/2^bits per query.
+    Probabilistic recall ⇒ rows-only driver check; recall@10 vs
+    brute_force_topk is locked by pytest
+    (tests/test_similarity.py::test_ann_lsh_recall).
 
 Replaces the reference's pgvector `<#>` scan
 (/root/reference/streamlit_app.py:275,281) with Spark-native physics.
@@ -24,7 +26,7 @@ from theoremsearch_spark.operators.relational import t
 
 N_QUERY_VECS = 5
 LSH_BITS = 8
-_rng = np.random.default_rng(7)
+PLANES_SEED = 7  # planes are a pure function of (seed, dim): stable across calls
 
 
 def _cosine(a: str, b: str):
@@ -101,11 +103,23 @@ def lsh_bucket(emb_col: str, planes: np.ndarray):
 
 
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10) -> DataFrame:
-    """LSH-bucketed ANN: probe only the query's bucket. At 10^12 rows the
-    bucket column is a partition key — each probe touches one partition."""
-    planes = _rng.standard_normal((LSH_BITS, dim))
+    """LSH-bucketed ANN with Hamming-1 multiprobe: each query probes its
+    own bucket plus the LSH_BITS single-bit-flip neighbors (near misses
+    on one hyperplane are the dominant recall loss). Each corpus vector
+    lives in exactly one bucket, so a (query, vector) pair matches at
+    most once — no dedup needed. At 10^12 rows the bucket column is a
+    partition key — each probe touches one partition."""
+    planes = np.random.default_rng(PLANES_SEED).standard_normal((LSH_BITS, dim))
     bucketed = emb.withColumn("bucket", lsh_bucket("embedding", planes))
-    qb = queries.withColumn("bucket", lsh_bucket("qvec", planes))
+    probes = F.explode(
+        F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)],
+        )
+    )
+    qb = queries.withColumn("qbucket", lsh_bucket("qvec", planes)).withColumn(
+        "bucket", probes
+    ).drop("qbucket")
     joined = bucketed.join(F.broadcast(qb), "bucket")
     scored = joined.select(
         "query_id", "vec_id", F.round(_cosine("qvec", "embedding"), 4).alias("cos")
