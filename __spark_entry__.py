@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from theoremsearch_spark.functions import dedup, similarity, textops
-from theoremsearch_spark.operators import engine_queries, relational, stringops, unit_queries
+from theoremsearch_spark.operators import engine_queries, extra_queries, relational, stringops, unit_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,13 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
-    for mod in (relational, stringops, textops, dedup, similarity, engine_queries, unit_queries):
+    for mod in (relational, stringops, textops, dedup, similarity, engine_queries, unit_queries, extra_queries):
         out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (relational, stringops, textops, dedup, similarity, engine_queries, unit_queries):
+    for mod in (relational, stringops, textops, dedup, similarity, engine_queries, unit_queries, extra_queries):
         out.update(mod.ORACLES)
     return out

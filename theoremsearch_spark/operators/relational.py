@@ -215,12 +215,9 @@ def q_window_rank(spark, sf_dir):  # W6: rank within group
 def q_window_running_sum(spark, sf_dir):  # W-extra: running aggregate
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
-    out = (
-        t(spark, sf_dir, "events")
-        .withColumn("running_value", F.round(F.sum("value").over(w), 4))
-        .select("event_id", "user_id", "running_value")
-    )
-    return out
+    return e.withColumn(
+        "running_value", F.round(F.sum("value").over(w), 4)
+    ).select("event_id", "user_id", "running_value")
 
 
 def q_topk(spark, sf_dir):  # W1: ORDER BY … LIMIT k → TakeOrderedAndProject
