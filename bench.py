@@ -62,9 +62,15 @@ def main() -> int:
         timed("corpus_gen", gen)
 
         # --- engine: build (read documents → extract → ids → index) ----
+        # lang is indexed as a filter-term posting list (reference R3)
         def build():
+            from pyspark.sql import functions as F
+
             documents = spark.read.parquet(f"{work}/documents")
             docs_r = prepare_docs(documents, work, num_partitions=cpus * 2)
+            docs_r = docs_r.withColumn(
+                "filter_terms", F.array(F.concat(F.lit("lang="), F.col("lang")))
+            )
             build_index(docs_r, f"{work}/index", n_buckets=cpus, resume=False,
                         salt_threshold=max(1000, n_docs // 3), n_segments=8)
             return docs_r
@@ -83,6 +89,15 @@ def main() -> int:
         extras["topk_rows"] = rows
         extras["query_p50_est_sec"] = round(timings["engine_topk"] / len(qs), 4)
         extras["queries_per_sec"] = round(len(qs) / timings["engine_topk"], 2)
+
+        # --- engine: FILTERED serving (R3 — predicate inside the ranked
+        # query, intersected as a salted posting list; lang=en ≈ 90% of
+        # docs, the worst-case heavy filter) ---------------------------
+        def serve_filtered():
+            hits = topk(spark, f"{work}/index", qs, k=10, filters=["lang=en"])
+            return hits.count()
+
+        extras["topk_filtered_rows"] = timed("engine_topk_filtered", serve_filtered)
 
         # --- headline operators over the driver tables -----------------
         heads = {

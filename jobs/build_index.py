@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-threshold", type=int, default=50_000)
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--filter-cols", default="lang",
+        help="comma-separated metadata columns indexed as filter-term posting "
+             "lists (col=value; reference R3 filtered serving); '' disables",
+    )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("ts-build-index").getOrCreate()
@@ -55,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     if not docs_done:
         prepare_docs(documents, args.out)
     docs_r = spark.read.parquet(f"{args.out}/docs")
+    fcols = [c for c in args.filter_cols.split(",") if c and c in docs_r.columns]
+    if fcols:
+        docs_r = docs_r.withColumn(
+            "filter_terms",
+            F.array(*[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in fcols]),
+        )
     result = build_index(
         docs_r,
         f"{args.out}/index",

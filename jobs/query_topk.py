@@ -4,11 +4,15 @@ Usage:
   spark-submit --py-files theoremsearch_spark.zip jobs/query_topk.py \
       --index <index root from build_index> \
       [--queries <parquet/csv with query_id,query_text> | --synth-queries N_DOCS] \
-      [--k 10] [--out <parquet path>]
+      [--k 10] [--out <parquet path>] \
+      [--filter lang=en --filter source=a,source=b ...]
 
 The batch analog of the reference's serving query
 (/root/reference/streamlit_app.py:252-283): ranked top-k ids joined
 back to document metadata, deterministic (score DESC, doc_id ASC).
+Each --filter is a required group applied INSIDE the ranked query
+(reference R3); comma-separated terms within a group are OR'd. Filter
+terms must have been indexed at build time (build_index filter_terms).
 """
 
 from __future__ import annotations
@@ -28,11 +32,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--synth-queries", type=int, help="use the 73-query set for a synth:N corpus")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--out", help="write results parquet here (else show 20 rows)")
+    p.add_argument(
+        "--filter", action="append", default=[],
+        help="required filter group: a filter term, or comma-separated OR terms",
+    )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("ts-query-topk").getOrCreate()
     from theoremsearch_spark.corpus import query_set
-    from theoremsearch_spark.query import topk_with_urls
+    from theoremsearch_spark.query import topk, topk_with_urls
 
     if args.synth_queries:
         qs = query_set(args.synth_queries)[["query_id", "query_text"]]
@@ -41,8 +49,19 @@ def main(argv: list[str] | None = None) -> int:
     else:
         p.error("one of --queries / --synth-queries is required")
 
+    filters = [g.split(",") if "," in g else g for g in args.filter]
+
     t0 = time.monotonic()
-    hits = topk_with_urls(spark, f"{args.index}/index", f"{args.index}/docs", qs, k=args.k)
+    if filters:
+        from pyspark.sql import functions as F
+
+        ranked = topk(spark, f"{args.index}/index", qs, k=args.k, filters=filters)
+        docs = spark.read.parquet(f"{args.index}/docs").select(
+            "doc_id", "url", "lang", "warc_ts"
+        )
+        hits = ranked.join(docs, "doc_id", "left").orderBy("query_id", F.col("rank"))
+    else:
+        hits = topk_with_urls(spark, f"{args.index}/index", f"{args.index}/docs", qs, k=args.k)
     if args.out:
         hits.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()

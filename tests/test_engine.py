@@ -210,3 +210,35 @@ def test_resume_recomputes_nothing(spark, corpus_df, tmp_path):
                     "doc_bytes", "tf_bytes", "dl_bytes"]]
 
     pd.testing.assert_frame_equal(canon(f"{d1}/postings"), canon(f"{d2}/postings"))
+
+
+def test_crash_between_postings_and_manifest_is_atomic(spark, corpus_df, tmp_path):
+    """A crash AFTER the postings write but BEFORE the manifest append
+    leaves orphan bucket partitions; the resumed run must REPLACE them
+    (dynamic partition overwrite), never append duplicate blocks that
+    would double-count BM25 contributions."""
+    import shutil
+
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import prepare_docs
+
+    docs = prepare_docs(corpus_df, str(tmp_path / "prep"))
+    d1 = str(tmp_path / "full")
+    d2 = str(tmp_path / "crashed")
+    build_index(docs, d1, salt_threshold=900, n_segments=4, n_buckets=8)
+    build_index(docs, d2, salt_threshold=900, n_segments=4, n_buckets=8,
+                fail_after_buckets=3)
+    # simulate the crash window: postings for buckets 0-2 are committed,
+    # the manifest append never happened
+    shutil.rmtree(f"{d2}/manifest")
+    build_index(docs, d2, salt_threshold=900, n_segments=4, n_buckets=8)
+
+    def canon(path):
+        pdf = spark.read.parquet(path).toPandas()
+        return (
+            pdf.sort_values(["term_id", "segment", "block_id"]).reset_index(drop=True)
+            [["term_id", "segment", "block_id", "first_doc", "last_doc", "n_docs",
+              "doc_bytes", "tf_bytes", "dl_bytes"]]
+        )
+
+    pd.testing.assert_frame_equal(canon(f"{d1}/postings"), canon(f"{d2}/postings"))

@@ -62,6 +62,9 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_bytes", T.BinaryType(), False),
         T.StructField("tf_bytes", T.BinaryType(), False),
         T.StructField("dl_bytes", T.BinaryType(), False),
+        # compressed size as a plain int so manifest/lineage aggregation
+        # prunes to small columns instead of re-reading the byte blobs
+        T.StructField("block_bytes", T.IntegerType(), False),
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("task_wall_ms", T.LongType(), False),
     ]
@@ -180,7 +183,8 @@ def _block_builder(avgdl: float, k1: float, b: float, block_size: int):
 
     cols = [
         "term_id", "segment", "block_id", "first_doc", "last_doc", "n_docs",
-        "max_tf_norm", "doc_bytes", "tf_bytes", "dl_bytes", "bucket",
+        "max_tf_norm", "doc_bytes", "tf_bytes", "dl_bytes", "block_bytes",
+        "bucket",
     ]
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -255,6 +259,11 @@ def _block_builder(avgdl: float, k1: float, b: float, block_size: int):
                     "dl_bytes": [
                         bytes(mv_dl[dl_off[s] : dl_off[e]]) for s, e in zip(starts, ends)
                     ],
+                    "block_bytes": (
+                        (doc_off[ends] - doc_off[starts])
+                        + (tf_off[ends] - tf_off[starts])
+                        + (dl_off[ends] - dl_off[starts])
+                    ).astype(np.int32),
                     "bucket": bucket[starts],
                 }
             )
@@ -456,9 +465,7 @@ def build_index(
         .agg(
             F.sum("n_docs").alias("postings_written"),
             F.count("*").alias("blocks_written"),
-            F.sum(
-                F.length("doc_bytes") + F.length("tf_bytes") + F.length("dl_bytes")
-            ).alias("bytes_compressed"),
+            F.sum("block_bytes").alias("bytes_compressed"),
             F.max("task_wall_ms").alias("wall_ms"),
         )
         .withColumn("status", F.lit("done"))

@@ -119,43 +119,57 @@ def q_dedup_exact(spark, sf_dir):
 LENGTH_BAND = 32  # chars per blocking band
 
 
+JACCARD_THRESHOLD = 0.8
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Banded exact Jaccard: candidate pairs whose n_chars length BANDS
-    differ by ≤ 1 (each doc explodes to keys {band, band+1}; a pair
-    matches iff the key sets intersect iff |band_a − band_b| ≤ 1 — an
-    equi-join, never a theta-join), verified with token-set
-    Jaccard ≥ 0.5. Unlike exact-length blocking this catches ±1-char
-    near-dups across a band boundary and cannot form a mega-block out
-    of one popular exact length. Deterministic ⇒ full DuckDB oracle."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.floor(F.col("n_chars") / LENGTH_BAND).alias("band"),
-        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
-    )
-    keyed = d.select(
-        "doc_id", "band", "toks",
-        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("key"),
-    )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        # same-band pairs share BOTH keys {band, band+1}: keep exactly the
-        # key == greatest(bands) match — dedup as a filter, not a shuffle
-        .filter(F.col("a.key") == F.greatest(F.col("a.band"), F.col("b.band")))
-        .select("a.doc_id", "a.toks", F.col("b.doc_id").alias("doc_b"),
-                F.col("b.toks").alias("toks_b"))
-    )
-    jac = F.size(F.array_intersect("toks", "toks_b")) / F.size(
-        F.array_union("toks", "toks_b")
-    )
-    return (
-        pairs.select(
-            F.col("doc_id").alias("doc_a"),
-            "doc_b",
-            F.round(jac, 4).alias("jaccard"),
+    """Exact shingle-set Jaccard via an inverted shingle index — the
+    deterministic mirror of MinHash (same 3-token shingles, exact
+    instead of sketched):
+
+      doc → distinct xxhash64(3-token shingle) set
+          → explode (doc, shingle) rows
+          → self equi-join on shingle, groupBy pair → |A∩B| directly
+          → J = |A∩B| / (|A|+|B|−|A∩B|), keep J ≥ 0.8.
+
+    Work is Σ_shingle df² — shingles are selective (word ORDER, not
+    vocabulary), so df ≈ 1 except for true near-dups and the total is
+    ~linear in corpus size; an early length-band cross-join variant did
+    Σ_block² array intersects and was 50× slower on the same input.
+    Any J>0 pair shares a shingle, so recall at J ≥ 0.8 is exactly 1.
+    At 100 TB, boilerplate mega-shingles (df ≫) get a df-cap /
+    stop-shingle pass first; here the operator stays cap-free so the
+    DuckDB oracle (which recomputes on raw shingle STRINGS — a
+    genuinely independent second computation) matches bit-for-bit."""
+    n_sh = F.greatest(F.size(F.col("w")) - 2, F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("w"), i, 3))),
         )
-        .filter(F.col("jaccard") >= 0.5)
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select("doc_id", shingles.alias("toks"))
+    )
+    ex = d.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("h"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -297,15 +311,20 @@ ORACLES = {
         FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id
     """,
     "dedup_ngram_jaccard": f"""
-        WITH d AS (SELECT doc_id, CAST(floor(n_chars / {LENGTH_BAND}.0) AS BIGINT) AS band,
-                          list_distinct(string_split(text, ' ')) AS toks
-                   FROM documents)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(len(list_intersect(a.toks, b.toks)) * 1.0
-                     / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-        FROM d a JOIN d b ON abs(a.band - b.band) <= 1 AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
-              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents),
+        d AS (SELECT doc_id, list_distinct(list_transform(
+                         range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS toks
+              FROM raw),
+        e AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS h FROM d),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS inter
+              FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+        FROM p WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
     """,
 }

@@ -35,7 +35,7 @@ HARNESS_QUERIES = [
     (4, "table sort order part"),
 ]
 K = 10
-_INDEX_VERSION = "v2"  # bump when index layout / build inputs change
+_INDEX_VERSION = "v3"  # bump when index layout / build inputs change
 
 
 def _content_key(sf_dir: str) -> str:
@@ -164,6 +164,53 @@ def _bm25_filtered_oracle_sql() -> str:
     """
 
 
+def _ensure_generations(spark, sf_dir: str) -> str:
+    """Two disjoint index GENERATIONS over halves of the documents
+    table — the incremental/streaming storage layout (one gen per
+    micro-batch, streaming/incremental.py:57-97) built batch-wise so
+    the harness stays deterministic."""
+    from theoremsearch_spark.streaming.incremental import commit_generation
+
+    out = os.path.join(tempfile.gettempdir(), f"ts_harness_gens_{_content_key(sf_dir)}")
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        d = t(spark, sf_dir, "documents")
+        mid = d.agg(F.max("doc_id")).collect()[0][0] // 2
+        for gen, part in enumerate(
+            [d.filter(F.col("doc_id") <= mid), d.filter(F.col("doc_id") > mid)]
+        ):
+            docs = part.select(
+                "doc_id",
+                F.col("text").alias("extracted_text"),
+                F.size(F.split(F.col("text"), " ")).alias("doc_len"),
+            )
+            gen_dir = os.path.join(out, f"gen_{gen}")
+            build_index(
+                docs, f"{gen_dir}/index",
+                salt_threshold=200, n_segments=4, n_buckets=8, resume=False,
+            )
+            commit_generation(out, gen, 0 if gen == 0 else mid + 1, part.count())
+        open(marker, "w").close()
+    return out
+
+
+def q_bm25_multi_generation(spark, sf_dir):
+    """Serve across two index generations with globally merged
+    (N, avgdl, df) statistics and sound block-max rescale — scores must
+    equal a from-scratch single-index build, so the oracle is the SAME
+    full-corpus BM25 SQL as bm25_topk. This is the correctness heart of
+    the incremental/streaming path (each micro-batch appends a
+    generation; readers merge at query time)."""
+    from theoremsearch_spark.streaming.incremental import topk_all_generations
+
+    gens = _ensure_generations(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    hits = topk_all_generations(spark, gens, qs, k=K)
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "rank")
+
+
 RESCORE_W = 0.1
 POOL = 50
 
@@ -215,9 +262,12 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_rescored": q_bm25_topk_rescored,
+    "bm25_multi_generation": q_bm25_multi_generation,
 }
 ORACLES = {
     "bm25_topk": _bm25_oracle_sql(),
     "bm25_topk_filtered": _bm25_filtered_oracle_sql(),
     "bm25_topk_rescored": _bm25_rescored_oracle_sql(),
+    # generation-merge must reproduce the single-index ranking exactly
+    "bm25_multi_generation": _bm25_oracle_sql(),
 }

@@ -29,7 +29,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 12g, NOT "all the RAM": with ParallelGC a 48g heap grows a
+        # ~16g young gen whose copy-collections stall all executor
+        # threads on this paravirt host — the measured index phase was
+        # 102s@16-cores with 48g vs 27s with 12g (3.7×), and 16 cores
+        # were slower than 4 in absolute wall (allocation rate scales
+        # with cores; GC pause cost scales with young-gen size). Spill
+        # paths (shuffle/sort) handle the rest on disk.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         # ParallelGC: G1's concurrent phases futex-convoy on this
         # paravirtualized host (measured: identical shuffle+sort 3.7s vs
         # 47.9s run-to-run under G1; 4.1/3.1s stable under ParallelGC).

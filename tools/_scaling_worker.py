@@ -79,6 +79,11 @@ def main() -> int:
         batches.append(b)
     qs = pd.concat(batches, ignore_index=True)
 
+    # serving steady-state: one small warmup batch compiles the query
+    # path (codegen + python-worker spin-up) — a long-lived serving
+    # cluster pays that once, not per batch
+    topk(spark, f"{args.work}/index", base.head(8), k=10).count()
+
     t0 = time.monotonic()
     n = topk(spark, f"{args.work}/index", qs, k=10).count()
     query_sec = time.monotonic() - t0

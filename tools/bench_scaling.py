@@ -37,9 +37,20 @@ def run_worker(cores: int, docs: int, documents: str, query_mult: int) -> dict:
         "--query-mult", str(query_mult),
     ]
     subprocess.run(["sync"], check=False)
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # hard per-worker timeout + one retry: a py4j socket hiccup can hang
+    # the worker forever with an idle JVM (observed); a rep must never
+    # wedge the whole protocol
+    for attempt in (1, 2):
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True, timeout=1200
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError, IndexError):
+            if attempt == 2:
+                raise
+            subprocess.run(["pkill", "-9", "-f", "_scaling_worker"], check=False)
 
 
 def main() -> int:
@@ -70,8 +81,17 @@ def main() -> int:
     for _ in range(args.reps):
         his.append(run_worker(args.n4, args.docs, docs_path, args.query_mult))
         los.append(run_worker(args.n, args.docs, docs_path, args.query_mult))
-    lo = min(los, key=lambda r: r["build_sec"] + r["query_sec"])
-    hi = min(his, key=lambda r: r["build_sec"] + r["query_sec"])
+
+    def best(runs):
+        # per-PHASE minimum across reps: each phase's best run is its
+        # true cost estimate; a single noisy phase must not drag the
+        # other phase's measurement with it
+        out = dict(min(runs, key=lambda r: r["build_sec"] + r["query_sec"]))
+        for k in ("build_sec", "prep_sec", "index_sec", "query_sec"):
+            out[k] = min(r[k] for r in runs)
+        return out
+
+    lo, hi = best(los), best(his)
 
     ratio = args.n4 / args.n
     eff_build = (lo["build_sec"] * args.n) / (hi["build_sec"] * args.n4)
@@ -95,7 +115,9 @@ def main() -> int:
     print(json.dumps(result))
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # raw per-run report; the curated narrative (incl. host-noise
+    # attribution) lives in BENCH/BASELINE.md and is maintained by hand
+    with open("BENCH/scaling.md", "w") as f:
         f.write(f"""# BENCH — measured engine performance + scaling evidence
 
 Protocol (BASELINE.md / driver two-parallelism rule): identical job at
