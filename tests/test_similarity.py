@@ -77,6 +77,26 @@ def test_ann_lsh_recall(spark, emb_frames):
     assert mean_recall >= 0.8, f"ANN-LSH recall@10 {mean_recall} < 0.8 ({recalls})"
 
 
+def test_ann_ivf_recall(spark, emb_frames):
+    """IVF (stride-sampled centroids, n_probe cells) recall@10 vs brute
+    force ≥ 0.8 on clustered data."""
+    import pandas as pd
+
+    from theoremsearch_spark.functions.similarity import ann_ivf_topk
+
+    emb, queries = emb_frames
+    qp = queries.toPandas().rename(columns={})
+    exact = brute_force_topk(emb, queries, k=K).toPandas()
+    approx = ann_ivf_topk(emb, qp, DIM, k=K).toPandas()
+    recalls = []
+    for q in range(N_QUERIES):
+        want = set(exact.loc[exact["query_id"] == q, "vec_id"].astype(int))
+        got = set(approx.loc[approx["query_id"] == q, "vec_id"].astype(int))
+        recalls.append(len(want & got) / len(want))
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.8, f"IVF recall@10 {mean_recall} < 0.8 ({recalls})"
+
+
 def test_ann_lsh_candidates_are_bucketed(spark, emb_frames):
     """The scale property: ANN scores only bucket-joined candidates —
     the scored row count is far below the full n·q cross product."""

@@ -142,6 +142,98 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, queries, dim, k=10).orderBy("query_id", "rnk")
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _dot(col, vec: "np.ndarray"):
+    return F.aggregate(
+        F.zip_with(
+            F.col(col) if isinstance(col, str) else col,
+            F.array(*[F.lit(float(v)) for v in vec]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame, queries_pdf, dim: int, k: int = 10,
+    n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors are assigned to their
+    nearest centroid once (the coarse quantizer — centroids here are a
+    deterministic stride-sample of the corpus, the k-means-free variant);
+    each query probes its `n_probe` nearest centroids and scores only
+    those cells — candidate fraction ≈ n_probe/n_centroids of the
+    corpus. The cell column is a partition key at scale: one probe = one
+    partition scan, same physics as the posting-list index.
+
+    queries_pdf: pandas (query_id, qvec as list) — the query side is
+    tiny and its probe lists are computed driver-side in numpy.
+    """
+    spark = emb.sparkSession
+    n = emb.count()
+    stride = max(1, n // n_centroids)
+    cents = (
+        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < n_centroids))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    C = np.array([r["embedding"] for r in cents], dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    # corpus assignment: argmax over centroids of cosine — JVM-side
+    scored = F.array(
+        *[
+            F.struct(_dot("embedding", C[i]).alias("s"), F.lit(i).alias("i"))
+            for i in range(C.shape[0])
+        ]
+    )
+    # the vector's own norm is constant across the C cell scores, so the
+    # argmax over dot(v, unit-centroid) IS the cosine argmax — no
+    # normalization needed corpus-side
+    cells = emb.withColumn("cell", F.array_max(scored)["i"])
+
+    # query probes: numpy, driver-side
+    Q = np.array(list(queries_pdf["qvec"]), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ C.T
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, row in zip(queries_pdf["query_id"], sims)
+        for c in np.argsort(-row)[:n_probe]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qv = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(queries_pdf["query_id"], Q)],
+        "query_id long, qvec array<double>",
+    )
+    cand = cells.join(F.broadcast(probes.join(qv, "query_id")), "cell")
+    scored_c = cand.select(
+        "query_id", "vec_id", F.round(_cosine("qvec", "embedding"), 4).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored_c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qp = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        .toPandas()
+    )
+    dim = len(qp["qvec"].iloc[0])
+    return ann_ivf_topk(emb, qp, dim, k=10).orderBy("query_id", "rnk")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs among the first 50 vectors
     (exact, small block ⇒ SQL oracle)."""
@@ -175,6 +267,7 @@ def q_embedding_near_dup(spark, sf_dir):
 QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,  # probabilistic — rows-only check
+    "ann_ivf_topk": q_ann_ivf_topk,  # probabilistic — rows-only check
     "embedding_near_dup": q_embedding_near_dup,
 }
 

@@ -245,8 +245,37 @@ def q_upsert_parquet(spark, sf_dir):  # S11: upsert-sink key semantics
     )
 
 
+def q_type_whitelist(spark, sf_dir):  # P10: first-token type whitelist
+    """split(lower(x), ' ')[0] ∈ {...} — the reference's post-hoc
+    theorem-type gate (ec2/parse_papers/__main__.py:94-103)."""
+    pt = t(spark, sf_dir, "part")
+    first = F.split(F.lower(F.col("p_type")), " ")[0]
+    return (
+        pt.withColumn("type_head", first)
+        .filter(F.col("type_head").isin("standard", "economy"))
+        .groupBy("type_head")
+        .agg(F.count("*").alias("n"))
+        .orderBy("type_head")
+    )
+
+
+def q_window_tumbling_agg(spark, sf_dir):  # streaming primitive, batch-checked
+    """F.window tumbling 1-hour buckets — the exact groupBy the
+    streaming path uses (streaming/incremental.py windowed_event_counts)
+    run in batch mode so DuckDB can verify the bucketing + aggregation."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
 QUERIES = {
     "filter_notnull": q_filter_notnull,
+    "type_whitelist": q_type_whitelist,
+    "window_tumbling_agg": q_window_tumbling_agg,
     "map_union": q_map_union,
     "sort_doc_order": q_sort_doc_order,
     "ir_metrics": q_ir_metrics,
@@ -255,6 +284,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "type_whitelist": """
+        SELECT string_split(lower(p_type), ' ')[1] AS type_head, count(*) AS n
+        FROM part
+        WHERE string_split(lower(p_type), ' ')[1] IN ('standard', 'economy')
+        GROUP BY 1 ORDER BY 1
+    """,
+    "window_tumbling_agg": """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "filter_notnull": """
         SELECT l_returnflag, count(*) AS n FROM lineitem
         WHERE nullif(l_returnflag, 'N') IS NOT NULL
