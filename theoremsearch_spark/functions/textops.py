@@ -81,11 +81,42 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+SNIPPET_TERM = "spark"
+SNIPPET_RADIUS = 20
+
+
+def q_text_snippet(spark, sf_dir):
+    """Hit-highlighting snippet: a ±RADIUS-char window around the first
+    occurrence of the matched term — the serving-display analog of the
+    reference rendering theorem bodies under each hit
+    (/root/reference/streamlit_app.py:294,432). Pure JVM
+    locate/substring — codegen'd, no Python."""
+    from theoremsearch_spark.operators.relational import t
+
+    d = t(spark, sf_dir, "documents")
+    pos = F.locate(SNIPPET_TERM, F.col("text"))
+    return (
+        d.withColumn("pos", pos)
+        .filter(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(
+                F.col("text"),
+                F.greatest(F.col("pos") - SNIPPET_RADIUS, F.lit(1)),
+                SNIPPET_RADIUS * 2 + len(SNIPPET_TERM),
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_token_count": q_token_count,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_fingerprint": q_fingerprint,
+    "text_snippet": q_text_snippet,
 }
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
@@ -123,5 +154,13 @@ ORACLES = {
         SELECT md5(lower(text)) AS fingerprint, count(*) AS n_docs,
                min(doc_id) AS keep_doc_id
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "text_snippet": f"""
+        SELECT doc_id, strpos(text, '{SNIPPET_TERM}') AS pos,
+               substr(text,
+                      greatest(strpos(text, '{SNIPPET_TERM}') - {SNIPPET_RADIUS}, 1),
+                      {SNIPPET_RADIUS * 2 + len(SNIPPET_TERM)}) AS snippet
+        FROM documents WHERE strpos(text, '{SNIPPET_TERM}') > 0
+        ORDER BY doc_id
     """,
 }
