@@ -258,14 +258,75 @@ def _bm25_rescored_oracle_sql() -> str:
     """
 
 
+def q_bm25_topk_display(spark, sf_dir):
+    """The complete interactive-serving shape (reference
+    streamlit_app.py:276-294): ranked ids → join document display
+    columns → hit snippet around the first matched query term. One
+    broadcast-able join on ≤ k·|queries| rows plus a codegen'd
+    locate/substring — no extra scan of the corpus text beyond the
+    joined rows."""
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    hits = topk(spark, idx, qs, k=K)
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    qfirst = spark.createDataFrame(
+        [(qid, text.split()[0]) for qid, text in HARNESS_QUERIES],
+        "query_id int, first_term string",
+    )
+    pos = F.expr("locate(first_term, text)")  # F.locate needs a literal substr
+    return (
+        hits.join(d, "doc_id")
+        .join(F.broadcast(qfirst), "query_id")
+        .withColumn("pos", pos)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            "lang",
+            "source",
+            F.when(
+                F.col("pos") > 0,
+                F.substring(F.col("text"), F.greatest(F.col("pos") - 10, F.lit(1)), 30),
+            ).otherwise(F.lit("")).alias("snippet"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_display_oracle_sql() -> str:
+    qfirst = ", ".join(
+        f"({qid}, '{text.split()[0]}')" for qid, text in HARNESS_QUERIES
+    )
+    return f"""
+        WITH {_bm25_scored_cte()},
+        ranked AS (
+            SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+            FROM scored),
+        qf(query_id, first_term) AS (VALUES {qfirst})
+        SELECT r.query_id, r.rank, r.doc_id, round(r.s, 4) AS score,
+               d.lang, d.source,
+               CASE WHEN strpos(d.text, qf.first_term) > 0
+                    THEN substr(d.text,
+                                greatest(strpos(d.text, qf.first_term) - 10, 1), 30)
+                    ELSE '' END AS snippet
+        FROM ranked r JOIN documents d USING (doc_id)
+                      JOIN qf ON qf.query_id = r.query_id
+        WHERE r.rank <= {K} ORDER BY r.query_id, r.rank
+    """
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_display": q_bm25_topk_display,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_rescored": q_bm25_topk_rescored,
     "bm25_multi_generation": q_bm25_multi_generation,
 }
 ORACLES = {
     "bm25_topk": _bm25_oracle_sql(),
+    "bm25_topk_display": _bm25_display_oracle_sql(),
     "bm25_topk_filtered": _bm25_filtered_oracle_sql(),
     "bm25_topk_rescored": _bm25_rescored_oracle_sql(),
     # generation-merge must reproduce the single-index ranking exactly
