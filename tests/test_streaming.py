@@ -195,3 +195,51 @@ def test_sessionize_events(spark, tmp_path):
     # append mode emits the first two
     assert len(got) == 2
     assert got["n_events"].tolist() == [2, 2]
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState custom state: two file drops → two
+    micro-batches; per-user running totals must be emitted per batch
+    (update mode) and the final row per user must equal the batch
+    groupBy over all data — state carried correctly across batches."""
+    from theoremsearch_spark.streaming.incremental import running_user_totals
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(120),
+            "ts": pd.date_range("2024-01-01", periods=120, freq="7s"),
+            "user_id": [i % 5 for i in range(120)],
+            "event_type": ["click"] * 120,
+            "value": [float(i % 13) for i in range(120)],
+        }
+    )
+    src = str(tmp_path / "run_in")
+    outdir = str(tmp_path / "run_out")
+    chk = str(tmp_path / "run_chk")
+    spark.createDataFrame(pdf.iloc[:60]).repartition(1).write.parquet(f"{src}/b0")
+    spark.createDataFrame(pdf.iloc[60:]).repartition(1).write.parquet(f"{src}/b1")
+    static = spark.createDataFrame(pdf)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals_mem")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("running_totals_mem").toPandas()
+    del outdir
+    # every user appears once per batch that touched it
+    assert got.groupby("user_id")["batches_seen"].max().eq(2).all()
+    assert len(got) == 10  # 5 users × 2 batches
+    final = got[got["batches_seen"] == 2].set_index("user_id").sort_index()
+    want = pdf.groupby("user_id").agg(n_events=("value", "size"), sum_value=("value", "sum"))
+    assert final["n_events"].tolist() == want["n_events"].tolist()
+    np.testing.assert_allclose(final["sum_value"], want["sum_value"])

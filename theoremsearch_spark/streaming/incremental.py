@@ -175,3 +175,45 @@ def sessionize_events(events_stream: DataFrame, gap_minutes: int = 30) -> DataFr
             "sum_value",
         )
     )
+
+
+RUNNING_TOTALS_SCHEMA = (
+    "user_id long, n_events long, sum_value double, batches_seen int"
+)
+_RUNNING_STATE_SCHEMA = "n long, s double, b int"
+
+
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    RUNNING totals emitted after every micro-batch — the shape built-in
+    aggregations can't express in update-per-batch form with arbitrary
+    per-key state (here: count, sum, and how many batches touched the
+    key). State lives in the state store, checkpointed with the query;
+    at 100 TB/day the state is one tiny tuple per user, not per event.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s, b = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        b += 1
+        state.update((n, s, b))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "batches_seen": [b],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_SCHEMA,
+        _RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
