@@ -1,0 +1,125 @@
+"""spark-submit entry: web-scale training-data preparation pipeline.
+
+Usage:
+  spark-submit --py-files theoremsearch_spark.zip jobs/prepare_training_data.py \
+      --input <documents parquet | synth:N> --out <dir> \
+      [--langs en] [--min-tokens 20] [--max-tokens 100000] \
+      [--near-dup-threshold 0.8] [--build-index]
+
+The LLM-corpus shape of the engine's operators, chained end-to-end:
+
+  1. extract + tokenize (one Arrow pass, stats.prepare_docs)
+  2. quality gate      (token count bounds, distinct-token ratio,
+                        mean token length — textops semantics)
+  3. language filter   (declared lang whitelist)
+  4. exact dedup       (content fingerprint, min-doc_id survivor)
+  5. near dedup        (MinHash+LSH, capped buckets, exact-Jaccard
+                        verified; later doc of each pair dropped)
+  6. optional index    (salted, compressed, resumable build_index)
+
+Every stage is a declarative DataFrame op over the previous stage's
+parquet output, so Catalyst prunes/pushes and each stage is
+independently restartable; per-stage row counts print as one JSON line
+(the pipeline's lineage record, analog of the reference's per-batch
+parse_rate meters, /root/reference/ec2/parse_arxiv_papers/__main__.py:266).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--langs", default="en")
+    p.add_argument("--min-tokens", type=int, default=20)
+    p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--min-distinct-ratio", type=float, default=0.2)
+    p.add_argument("--max-mean-token-len", type=float, default=12.0)
+    p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p.add_argument("--build-index", action="store_true")
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName("ts-prepare-training-data").getOrCreate()
+    from theoremsearch_spark.corpus import generate_documents
+    from theoremsearch_spark.functions.dedup import minhash_lsh_pairs
+    from theoremsearch_spark.stats import prepare_docs
+
+    t0 = time.monotonic()
+    counts: dict[str, int] = {}
+
+    if args.input.startswith("synth:"):
+        documents = generate_documents(spark, int(args.input.split(":", 1)[1]))
+    else:
+        documents = spark.read.parquet(args.input)
+
+    docs = prepare_docs(documents, args.out)
+    counts["input"] = docs.count()
+
+    # quality gate — pure column predicates, pushed into the scan
+    toks = F.split(F.col("extracted_text"), " ")
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(F.col("doc_len"), F.lit(1))
+    mean_tok_len = (F.length(F.col("extracted_text")) - F.col("doc_len") + 1) / F.greatest(
+        F.col("doc_len"), F.lit(1)
+    )
+    quality = (
+        docs.filter(F.col("doc_len").between(args.min_tokens, args.max_tokens))
+        .filter(distinct_ratio >= args.min_distinct_ratio)
+        .filter(mean_tok_len <= args.max_mean_token_len)
+    )
+    langs = [s for s in args.langs.split(",") if s]
+    if langs:
+        quality = quality.filter(F.col("lang").isin(langs))
+    quality.write.mode("overwrite").parquet(f"{args.out}/quality")
+    quality = spark.read.parquet(f"{args.out}/quality")
+    counts["after_quality_lang"] = quality.count()
+
+    # exact dedup: min-doc_id survivor per content fingerprint
+    fp = quality.select(
+        "doc_id", F.md5(F.lower(F.col("extracted_text"))).alias("fp")
+    )
+    survivors = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    exact = quality.join(survivors, "doc_id")
+    exact.write.mode("overwrite").parquet(f"{args.out}/exact_dedup")
+    exact = spark.read.parquet(f"{args.out}/exact_dedup")
+    counts["after_exact_dedup"] = exact.count()
+
+    # near dedup: MinHash+LSH candidates, exact-Jaccard verified; keep
+    # the earlier doc of each near-dup pair (transitively: drop any doc
+    # that is the LATER member of a pair — deterministic, one pass)
+    pairs = minhash_lsh_pairs(
+        exact.select("doc_id", F.col("extracted_text").alias("text")),
+        threshold=args.near_dup_threshold,
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    clean = exact.join(drop, "doc_id", "left_anti")
+    clean.write.mode("overwrite").parquet(f"{args.out}/clean")
+    clean = spark.read.parquet(f"{args.out}/clean")
+    counts["after_near_dedup"] = clean.count()
+
+    result = {
+        "job": "prepare_training_data",
+        **counts,
+        "kept_pct": round(100.0 * counts["after_near_dedup"] / max(counts["input"], 1), 2),
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
+
+    if args.build_index:
+        from theoremsearch_spark.build import build_index
+
+        r = build_index(clean, f"{args.out}/index", resume=True)
+        result["index"] = r
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
