@@ -4,11 +4,10 @@ SimHash.
 Scale design notes (the point of each variant at 100 TB):
   - exact: one md5-keyed groupBy — a single shuffle of (16-byte key,
     doc_id); AQE handles bucket skew from boilerplate pages.
-  - blocked Jaccard: exact pair verification restricted to cheap blocks
-    (length BANDS of n_chars — each doc joins its own and the next
-    band, so ±1-char near-dups across a boundary are never missed and
-    no exact-length mega-block forms) — turns O(n²) into Σ block².
-    SQL-expressible → DuckDB oracle.
+  - exact n-gram Jaccard: inverted shingle index — one groupBy-shingle
+    pass, in-group ordered-pair fan-out, pair-count = |A∩B| directly.
+    Work is Σ_shingle df² (≈ linear: word-order shingles are selective),
+    recall at any J > 0 is exactly 1. SQL-expressible → DuckDB oracle.
   - MinHash+LSH: shingle → 64-permutation signature (vectorized numpy
     inside one pandas UDF — no per-row Python), band → bucket-join for
     candidates, exact-Jaccard verify of candidates only. Band buckets
@@ -154,16 +153,36 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         .select("doc_id", shingles.alias("toks"))
     )
     ex = d.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("h"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
+    # One groupBy-shingle pass generating in-group ordered pairs beats the
+    # self-equi-join shape 2×: the exploded tokenization is computed ONCE
+    # (the join recomputes its whole subtree for each side) and the big
+    # exploded relation crosses the wire once instead of twice. Work is
+    # the same Σ_shingle df²; a df ≫ mega-shingle would concentrate its
+    # pair fan-out in one task row, which is exactly what the production
+    # stop-shingle / df-cap pass (docstring above) removes first.
+    grouped = (
+        ex.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                ),
+            ),
         )
+    )
+    pairs = (
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
