@@ -243,3 +243,67 @@ def test_running_user_totals_stateful(spark, tmp_path):
     want = pdf.groupby("user_id").agg(n_events=("value", "size"), sum_value=("value", "sum"))
     assert final["n_events"].tolist() == want["n_events"].tolist()
     np.testing.assert_allclose(final["sum_value"], want["sum_value"])
+
+
+def test_multi_generation_salted_routing(spark, tmp_path):
+    """Saltedness is per-generation: gen0 salts the stopword, gen1 (high
+    threshold) keeps it flat. The fan must route gen0's segment blocks
+    exactly once each, replicate gen1's flat list to all S tasks, and
+    the served top-k must stay rank-identical to the single-corpus
+    oracle — the 100×-scale property that no task receives a whole
+    stopword posting list from ANY generation."""
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import prepare_docs
+    from theoremsearch_spark.streaming.incremental import commit_generation
+
+    out = str(tmp_path / "gens")
+    full = generate_documents(spark, 1000, partitions=4).toPandas()
+    segs = 4
+    for gen, (lo, hi, thresh) in enumerate([(0, 500, 100), (500, 1000, 10**9)]):
+        gen_dir = f"{out}/gen_{gen}"
+        docs = prepare_docs(
+            spark.createDataFrame(full.iloc[lo:hi]), gen_dir, id_base=0
+        )
+        if lo:
+            docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(lo))
+            docs.write.mode("overwrite").parquet(f"{gen_dir}/docs_offset")
+            docs = spark.read.parquet(f"{gen_dir}/docs_offset")
+        build_index(
+            docs, f"{gen_dir}/index", resume=False,
+            salt_threshold=thresh, n_segments=segs, n_buckets=4,
+        )
+        commit_generation(out, gen, lo, hi - lo)
+
+    # sanity: the stopword really is salted in gen0 only
+    for gen, expect_multi in ((0, True), (1, False)):
+        ts = spark.read.parquet(f"{out}/gen_{gen}/index/term_stats")
+        tid = ts.filter(F.col("term") == "the").collect()[0]["term_id"]
+        nseg = (
+            spark.read.parquet(f"{out}/gen_{gen}/index/postings")
+            .filter(F.col("term_id") == tid)
+            .select("segment").distinct().count()
+        )
+        assert (nseg > 1) == expect_multi, (gen, nseg)
+
+    qs = query_set(1000)[["query_id", "query_text"]].head(8)
+    stop_qs = pd.concat(
+        [qs, pd.DataFrame({"query_id": [900], "query_text": ["the w00010"]})],
+        ignore_index=True,
+    )
+    hits = topk_all_generations(spark, out, stop_qs, k=10).toPandas()
+
+    # rank-identity vs the single-corpus python oracle
+    truth = full[["url", "text"]].copy()
+    docs_all = []
+    for gen in (0, 1):
+        p = f"{out}/gen_{gen}/docs" if gen == 0 else f"{out}/gen_{gen}/docs_offset"
+        docs_all.append(spark.read.parquet(p).select("doc_id", "url").toPandas())
+    ids = pd.concat(docs_all).merge(truth, on="url", validate="one_to_one")
+    oracle = BM25Oracle(ids)
+    for qid, row in stop_qs.set_index("query_id").iterrows():
+        want = oracle.topk(row["query_text"], k=10)
+        got = hits[hits["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), qid
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
+        )

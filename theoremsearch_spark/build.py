@@ -387,7 +387,10 @@ def build_index(
     # stats.prepare_docs; at most one tokenize fallback for legacy input)
     rows = term_id_rows(docs)
 
+    collision_check = None  # deferred future — overlapped with postings
     if first_run:
+        import concurrent.futures as _cf
+
         # term_stats doubles as the term dictionary: (term, term_id, df).
         # The only shuffle carrying strings — map-side combined, so it
         # moves one row per distinct term per input partition.
@@ -397,27 +400,37 @@ def build_index(
             .agg(F.count("*").alias("df"))
             .withColumn("term_id", F.xxhash64("term"))
         )
+        # doc_stats is a tiny independent aggregate: submit it from a
+        # second thread so its job fills scheduler slots WHILE the
+        # term_stats shuffle runs, instead of adding a serial barrier
+        # (the Amdahl tax of one-job-at-a-time is what caps measured
+        # N→4N scaling efficiency on small per-node inputs)
+        _pool = _cf.ThreadPoolExecutor(max_workers=2)
+        _doc_stats_fut = _pool.submit(stats_mod.doc_stats, docs)
         tstats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
-        # 64-bit term_id collision would silently merge two posting lists
-        # (birthday risk is material at 10^9+ distinct terms) — fail loudly
-        collided = (
-            spark.read.parquet(f"{out_dir}/term_stats")
-            .groupBy("term_id")
-            .agg(F.count_distinct("term").alias("n"))
-            .filter(F.col("n") > 1)
-            .limit(1)
-            .count()
-        )
-        if collided:
-            raise RuntimeError(
-                "xxhash64 term_id collision detected in term_stats — "
-                "two distinct terms share an id; widen the id or rehash"
-            )
-        n_docs, avgdl = stats_mod.doc_stats(docs)
+        n_docs, avgdl = _doc_stats_fut.result()
         spark.createDataFrame(
             [(n_docs, avgdl, float(k1), float(b), int(block_size), int(n_segments), int(salt_threshold))],
             "n_docs long, avgdl double, k1 double, b double, block_size int, n_segments int, salt_threshold int",
         ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+
+        def _collision_count() -> int:
+            # 64-bit term_id collision would silently merge two posting
+            # lists (birthday risk is material at 10^9+ distinct terms) —
+            # fail loudly. Runs concurrently with the postings job; the
+            # result is joined BEFORE the manifest commit, so a collision
+            # still aborts the build with no bucket marked done.
+            return (
+                spark.read.parquet(f"{out_dir}/term_stats")
+                .groupBy("term_id")
+                .agg(F.count_distinct("term").alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+            )
+
+        collision_check = _pool.submit(_collision_count)
+        _pool.shutdown(wait=False)
     else:
         meta = spark.read.parquet(f"{out_dir}/doc_stats").collect()[0]
         avgdl = float(meta["avgdl"])
@@ -455,6 +468,14 @@ def build_index(
     blocks.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("bucket").parquet(f"{out_dir}/postings")
+
+    # join the overlapped collision check BEFORE committing the manifest:
+    # a collision aborts with every bucket still unmarked (re-runnable)
+    if collision_check is not None and collision_check.result():
+        raise RuntimeError(
+            "xxhash64 term_id collision detected in term_stats — "
+            "two distinct terms share an id; widen the id or rehash"
+        )
 
     # manifest: per-bucket lineage + metrics from the blocks just written
     written = spark.read.parquet(f"{out_dir}/postings").filter(

@@ -331,7 +331,13 @@ def _build_qterms(
     qterm = pairs.merge(tstats, on="term")  # drops unindexed scoring terms
     if qterm.empty:
         return None
-    heavy = qterm.groupby("query_id")["df"].max() > salt_threshold
+    if "any_salted" in qterm.columns:
+        # multi-generation serving: saltedness was decided per generation
+        # at ITS build threshold — the merged flag, not the merged df,
+        # says whether sharded routing is needed
+        heavy = qterm.groupby("query_id")["any_salted"].max().astype(bool)
+    else:
+        heavy = qterm.groupby("query_id")["df"].max() > salt_threshold
     q_segs = heavy.map(lambda h: n_segments if h else 1).rename("q_segs")
     qterm = qterm.merge(q_segs.reset_index(), on="query_id")
     qterm["n_fgroups"] = len(fgroups)
@@ -347,11 +353,22 @@ def _fan(spark: SparkSession, blocks: DataFrame, qterm: pd.DataFrame, salt_thres
         qterm[["query_id", "term", "term_id", "df", "is_filter", "fgroup", "q_segs", "n_fgroups"]]
     )
     fan = blocks.join(F.broadcast(qterm_df), "term_id")
+    # a SALTED list's segment-s blocks route to exactly task (q, s);
+    # unsalted (light) lists replicate to the query's S tasks and are
+    # narrowed to the task's doc residue inside the scorer. Saltedness
+    # is block-level when the blocks carry it (multi-generation union —
+    # the same term can be salted in one generation and flat in
+    # another), else the single-index df-vs-threshold rule.
+    salted = (
+        F.col("is_salted")
+        if "is_salted" in blocks.columns
+        else F.col("df") > F.lit(int(salt_threshold))
+    )
     return fan.withColumn(
         "serve_seg",
         F.explode(
             F.when(F.col("q_segs") == 1, F.array(F.lit(0)))
-            .when(F.col("df") > F.lit(int(salt_threshold)), F.array(F.col("segment")))
+            .when(salted, F.array(F.col("segment")))
             .otherwise(F.sequence(F.lit(0), F.col("q_segs") - 1))
         ),
     )

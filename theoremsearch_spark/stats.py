@@ -142,12 +142,28 @@ def prepare_docs(
         ) else documents
 
     src = documents.select("url", "warc_ts", "lang", "html")
+
+    # Partition identity comes from TaskContext INSIDE the python worker,
+    # never from a spark_partition_id() column: for non-file sources
+    # (local relations) Catalyst can evaluate that projection BEFORE an
+    # implicit exchange, making the column constant 0 across every
+    # downstream partition while the count job plans a single partition —
+    # silent duplicate doc_ids. TaskContext reflects the actual running
+    # task, and both jobs share an identical plan prefix (scan → python
+    # runner), so they partition identically.
+    from pyspark import TaskContext
+
+    def count_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid, n = TaskContext.get().partitionId(), 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"pid": [pid], "cnt": [n]})
+
     counts = {
-        r["pid"]: r["cnt"]
-        for r in src.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
+        int(r["pid"]): int(r["cnt"])
+        for r in src.select("url").mapInPandas(
+            count_parts, schema="pid int, cnt long"
+        ).collect()
     }
     offsets = {}
     acc = int(id_base)  # shard base: multi-executor builds share one id space
@@ -174,12 +190,12 @@ def prepare_docs(
 
     def extract_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
+        # raise (never default to 0) if the extract job plans partitions
+        # differently from the count job — silent 0 = duplicate doc_ids
+        base = offsets[TaskContext.get().partitionId()]
         for pdf in batches:
             if pdf.empty:
                 continue
-            # raise (never default to 0) if the extract job plans partitions
-            # differently from the count job — silent 0 = duplicate doc_ids
-            base = offsets[int(pdf["_pid"].iloc[0])]
             texts, lens, tfs = [], [], []
             for raw in pdf["html"]:
                 text = extract_text(raw)
@@ -188,7 +204,7 @@ def prepare_docs(
                 texts.append(text)
                 lens.append(len(toks))
                 tfs.append(" ".join("%s:%d" % kv for kv in cnt.items()))
-            out = pdf.drop(columns=["_pid", "html"])
+            out = pdf.drop(columns=["html"])
             out.insert(0, "doc_id", base + local + pd.RangeIndex(len(pdf)))
             out["extracted_text"] = texts
             out["doc_len"] = lens
@@ -196,9 +212,7 @@ def prepare_docs(
             local += len(pdf)
             yield out
 
-    docs = src.withColumn("_pid", F.spark_partition_id()).mapInPandas(
-        extract_assign, schema=out_schema
-    )
+    docs = src.mapInPandas(extract_assign, schema=out_schema)
     docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
     out = spark.read.parquet(f"{out_dir}/docs")
     n_written = out.count()  # parquet-footer count — no data read
@@ -207,6 +221,16 @@ def prepare_docs(
         raise RuntimeError(
             f"doc_id assignment drift: counted {expected} rows but wrote "
             f"{n_written} — partition planning changed between jobs"
+        )
+    # count alone cannot see duplicate ids (right total, wrong values) —
+    # the id RANGE can: dense assignment must span exactly
+    # [id_base, id_base + expected). One small two-int aggregate.
+    rng = out.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    if expected and (int(rng["lo"]) != int(id_base) or int(rng["hi"]) != int(id_base) + expected - 1):
+        raise RuntimeError(
+            f"doc_id assignment drift: ids span [{rng['lo']}, {rng['hi']}], "
+            f"expected [{id_base}, {int(id_base) + expected - 1}] — "
+            "duplicate or gapped ids from partition-planning mismatch"
         )
     return out
 

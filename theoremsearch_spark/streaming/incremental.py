@@ -117,30 +117,55 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
     avgdl = sum(m["avgdl"] * m["n_docs"] for m in metas) / n_docs
     k1, b = float(metas[0]["k1"]), float(metas[0]["b"])
 
+    # segment-sharded serving across generations: saltedness is a
+    # PER-GENERATION property (each generation salted at its own df
+    # threshold), so the routing flag rides on the blocks, not on the
+    # merged df. Sharding requires every generation to agree on the
+    # segment modulus (doc_id % S); mixed moduli fall back to the
+    # single-task path — correct, just unsharded.
+    seg_moduli = {int(m["n_segments"]) for m in metas if "n_segments" in m.__fields__}
+    n_segments = seg_moduli.pop() if len(seg_moduli) == 1 else 1
+
     all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
     tstats = None
     blocks = None
     for g, m in zip(gens, metas):
         idx = f"{out_dir}/gen_{g['gen']}/index"
-        ts = spark.read.parquet(f"{idx}/term_stats").filter(
-            F.col("term").isin(all_terms)
+        thresh = (
+            int(m["salt_threshold"]) if "salt_threshold" in m.__fields__ else 2**62
+        )
+        ts = (
+            spark.read.parquet(f"{idx}/term_stats")
+            .filter(F.col("term").isin(all_terms))
+            .withColumn("any_salted", F.col("df") > F.lit(thresh))
         )
         # block max_tf_norm was computed with the GENERATION's avgdl;
         # tf_norm is monotonically increasing in avgdl, bounded by the
         # denominator ratio ≤ avgdl_merged/avgdl_gen — scale the upper
         # bound so block pruning stays sound under the merged statistics
         scale = max(1.0, avgdl / float(m["avgdl"]))
-        bl = spark.read.parquet(f"{idx}/postings").withColumn(
-            "max_tf_norm", (F.col("max_tf_norm") * F.lit(scale)).cast("float")
+        bl = (
+            spark.read.parquet(f"{idx}/postings")
+            .withColumn(
+                "max_tf_norm", (F.col("max_tf_norm") * F.lit(scale)).cast("float")
+            )
+            .join(
+                F.broadcast(
+                    ts.select("term_id", F.col("any_salted").alias("is_salted"))
+                ),
+                "term_id",
+            )
         )
         tstats = ts if tstats is None else tstats.unionByName(ts)
         blocks = bl if blocks is None else blocks.unionByName(bl)
     merged = (
-        tstats.groupBy("term", "term_id").agg(F.sum("df").alias("df")).toPandas()
+        tstats.groupBy("term", "term_id")
+        .agg(F.sum("df").alias("df"), F.max("any_salted").alias("any_salted"))
+        .toPandas()
     )
     return topk_frames(
         spark, blocks, merged, queries, n_docs=int(n_docs), avgdl=float(avgdl),
-        k1=k1, b=b, k=k,
+        k1=k1, b=b, k=k, n_segments=n_segments,
     )
 
 

@@ -52,7 +52,13 @@ def run_phase(mode: str, n_execs: int, cores: int, out: str, *, files=None,
     barrier = os.path.join(out, f"_barrier_{mode}")
     procs = []
     for e in range(n_execs):
+        # each executor JVM (+ its python workers) is pinned to its own
+        # DISJOINT core set — the faithful model of a cluster node, which
+        # owns its cores outright. Unpinned, E JVMs' GC/shuffle/IO threads
+        # interleave across shared cores and measure scheduler thrash, not
+        # engine scaling. The JVM sizes thread pools from the affinity mask.
         cmd = [
+            "taskset", "-c", f"{e * cores}-{(e + 1) * cores - 1}",
             sys.executable,
             os.path.join(os.path.dirname(__file__), "_cluster_worker.py"),
             "--mode", mode, "--shard", str(e), "--cores", str(cores), "--out", out,

@@ -20,14 +20,22 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_worker(cores: int, docs: int, documents: str, query_mult: int) -> dict:
+def run_worker(cores: int, docs: int, documents: str, query_mult: int, pin: bool = True) -> dict:
     # tmpfs for shuffle + work dirs: isolates the measurement from disk
     # writeback interference between runs (this box's /tmp is one shared
     # virtio disk; a real cluster has per-node local SSDs)
     os.makedirs("/dev/shm/sparktmp", exist_ok=True)
     os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/sparktmp"
     work = tempfile.mkdtemp(prefix=f"ts_scale_{cores}_", dir="/dev/shm")
-    cmd = [
+    # Pin the whole process tree (JVM + python workers inherit the
+    # affinity mask) to exactly `cores` logical CPUs: unpinned local[N]
+    # caps task SLOTS at N but lets GC/shuffle/parquet threads spill
+    # onto all 32 host cores, inflating the small-"cluster" baseline —
+    # a real N-core executor node has no such free cores. The JVM sizes
+    # its GC pool from the affinity mask, so this also keeps GC-thread
+    # count faithful to the modeled node size.
+    pin_prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
+    cmd = pin_prefix + [
         sys.executable,
         os.path.join(os.path.dirname(__file__), "_scaling_worker.py"),
         "--cores", str(cores),
@@ -60,6 +68,7 @@ def main() -> int:
     p.add_argument("--n4", type=int, default=16)
     p.add_argument("--query-mult", type=int, default=8)
     p.add_argument("--reps", type=int, default=2, help="runs per level; min is kept (noisy-neighbor robust)")
+    p.add_argument("--no-pin", action="store_true", help="skip taskset CPU pinning (r1 protocol)")
     args = p.parse_args()
 
     from theoremsearch_spark.corpus import generate_documents
@@ -79,8 +88,8 @@ def main() -> int:
     # estimator of the true cost at each parallelism
     los, his = [], []
     for _ in range(args.reps):
-        his.append(run_worker(args.n4, args.docs, docs_path, args.query_mult))
-        los.append(run_worker(args.n, args.docs, docs_path, args.query_mult))
+        his.append(run_worker(args.n4, args.docs, docs_path, args.query_mult, pin=not args.no_pin))
+        los.append(run_worker(args.n, args.docs, docs_path, args.query_mult, pin=not args.no_pin))
 
     def best(runs):
         # per-PHASE minimum across reps: each phase's best run is its
