@@ -143,28 +143,47 @@ def prepare_docs(
 
     src = documents.select("url", "warc_ts", "lang", "html")
 
-    # Partition identity comes from TaskContext INSIDE the python worker,
-    # never from a spark_partition_id() column: for non-file sources
-    # (local relations) Catalyst can evaluate that projection BEFORE an
-    # implicit exchange, making the column constant 0 across every
-    # downstream partition while the count job plans a single partition —
-    # silent duplicate doc_ids. TaskContext reflects the actual running
-    # task, and both jobs share an identical plan prefix (scan → python
-    # runner), so they partition identically.
+    # Partition identity in the EXTRACT job comes from TaskContext inside
+    # the python worker, never from a spark_partition_id() column: for
+    # non-file sources (local relations) Catalyst can evaluate that
+    # projection BEFORE an implicit exchange, making the column constant
+    # 0 across every downstream partition — silent duplicate doc_ids.
+    # The COUNT job has two paths:
+    #   file scan  — spark_partition_id() is computed in the scan stage
+    #     itself (no exchange can precede it), so the footer-metadata
+    #     count is sound AND reads zero data columns — the 100 TB path;
+    #   anything else — a python count with the identical plan prefix
+    #     (scan → python runner) as the extract job, so both jobs
+    #     partition identically by construction.
     from pyspark import TaskContext
 
-    def count_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid, n = TaskContext.get().partitionId(), 0
-        for pdf in batches:
-            n += len(pdf)
-        yield pd.DataFrame({"pid": [pid], "cnt": [n]})
+    try:
+        is_file_source = bool(src.inputFiles())
+    except Exception:
+        is_file_source = False
 
-    counts = {
-        int(r["pid"]): int(r["cnt"])
-        for r in src.select("url").mapInPandas(
-            count_parts, schema="pid int, cnt long"
-        ).collect()
-    }
+    if is_file_source:
+        counts = {
+            int(r["pid"]): int(r["cnt"])
+            for r in src.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+    else:
+
+        def count_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid, n = TaskContext.get().partitionId(), 0
+            for pdf in batches:
+                n += len(pdf)
+            yield pd.DataFrame({"pid": [pid], "cnt": [n]})
+
+        counts = {
+            int(r["pid"]): int(r["cnt"])
+            for r in src.select("url").mapInPandas(
+                count_parts, schema="pid int, cnt long"
+            ).collect()
+        }
     offsets = {}
     acc = int(id_base)  # shard base: multi-executor builds share one id space
     for pid in sorted(counts):
