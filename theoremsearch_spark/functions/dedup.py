@@ -216,6 +216,20 @@ def exact_jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
 DEFAULT_MAX_BUCKET = 1000  # band buckets above this are boilerplate — skip
 
 
+def _ordered_pairs(ds):
+    """Column expr: sorted array of doc_ids → array<struct<doc_a,doc_b>>
+    of all ordered (i < j) pairs, generated inside the bucket row."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.8, max_bucket: int = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
@@ -228,7 +242,7 @@ def minhash_lsh_pairs(
     pairs. (Skipped buckets are near-identical boilerplate families —
     exact dedup catches their identical members far cheaper.)
     """
-    sig = docs.select("doc_id", "text", minhash_udf(F.col("text")).alias("sig"))
+    sig = docs.select("doc_id", minhash_udf(F.col("text")).alias("sig"))
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = sig.select(
         "doc_id",
@@ -241,23 +255,17 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    ok = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") <= max_bucket)
-        .drop("n")
-    )
-    bands = bands.join(ok, ["band", "band_hash"])
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # single groupBy-bucket pass: the MinHash UDF (the expensive stage)
+    # is evaluated ONCE — a bucket-count agg + two-sided self-join would
+    # re-run the whole signature subtree three times. The size filter is
+    # both the ≥2 candidacy condition and the mega-bucket cap, applied
+    # before any pair is generated.
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        .select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
     return exact_jaccard_pairs(docs, cands).filter(F.col("jaccard") >= threshold)
@@ -286,27 +294,30 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             )
         ).alias("chunk_pos", "chunk"),
     )
-    ok = (
+    # single groupBy-bucket pass (see minhash_lsh_pairs): the signature
+    # UDF runs once; the size filter is candidacy + mega-bucket cap in
+    # one predicate, before any pair exists
+    in_bucket = (
         chunks.groupBy("chunk_pos", "chunk")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") <= max_bucket)
-        .drop("n")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
     )
-    chunks = chunks.join(ok, ["chunk_pos", "chunk"])
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.chunk_pos") == F.col("b.chunk_pos"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
-        )
+        in_bucket.select(F.explode(pairs_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
     )
     return cands.filter(F.col("hamming") <= max_hamming).orderBy("doc_a", "doc_b")
