@@ -242,3 +242,32 @@ def test_crash_between_postings_and_manifest_is_atomic(spark, corpus_df, tmp_pat
         )
 
     pd.testing.assert_frame_equal(canon(f"{d1}/postings"), canon(f"{d2}/postings"))
+
+
+def test_prepare_docs_local_relation_and_empty_partition(spark, tmp_path):
+    """Two pid-contract edge cases:
+    (a) non-file (local-relation) input — spark_partition_id columns can
+        be evaluated before an implicit exchange there, which once
+        produced silent duplicate doc_ids; the TaskContext path must
+        assign dense ids;
+    (b) a file source containing a zero-row part file — absent from the
+        count job's groupBy, must not fault the extract task."""
+    from theoremsearch_spark.corpus import generate_documents
+    from theoremsearch_spark.stats import prepare_docs
+
+    full = generate_documents(spark, 300, partitions=4).toPandas()
+
+    # (a) local relation
+    docs = prepare_docs(spark.createDataFrame(full), str(tmp_path / "lr"))
+    ids = docs.select("doc_id").toPandas()["doc_id"].sort_values().to_numpy()
+    assert (ids == np.arange(300)).all()
+
+    # (b) file source with one empty part file
+    src_dir = tmp_path / "src"
+    spark.createDataFrame(full).repartition(3).write.parquet(str(src_dir))
+    spark.createDataFrame([], spark.read.parquet(str(src_dir)).schema).repartition(
+        1
+    ).write.mode("append").parquet(str(src_dir))
+    docs2 = prepare_docs(spark.read.parquet(str(src_dir)), str(tmp_path / "fs"))
+    ids2 = docs2.select("doc_id").toPandas()["doc_id"].sort_values().to_numpy()
+    assert (ids2 == np.arange(300)).all()

@@ -407,7 +407,14 @@ def build_index(
         # N→4N scaling efficiency on small per-node inputs)
         _pool = _cf.ThreadPoolExecutor(max_workers=2)
         _doc_stats_fut = _pool.submit(stats_mod.doc_stats, docs)
-        tstats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
+        try:
+            tstats.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
+        except BaseException:
+            try:
+                _doc_stats_fut.result(timeout=300)  # drain — never orphan the job
+            except Exception:
+                pass
+            raise
         n_docs, avgdl = _doc_stats_fut.result()
         spark.createDataFrame(
             [(n_docs, avgdl, float(k1), float(b), int(block_size), int(n_segments), int(salt_threshold))],
@@ -460,14 +467,26 @@ def build_index(
         )
         builder = _block_builder(avgdl, k1, b, block_size)
     blocks = shuffled.mapInPandas(builder, schema=POSTINGS_SCHEMA)
-    # dynamic partition overwrite = crash-atomic bucket commit: a driver
-    # crash between the postings write and the manifest append leaves
-    # orphan bucket partitions, and the resumed run REPLACES exactly
-    # those partitions instead of appending duplicate blocks (which
-    # would double-count BM25 contributions at query time)
-    blocks.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("bucket").parquet(f"{out_dir}/postings")
+    try:
+        # dynamic partition overwrite = crash-atomic bucket commit: a driver
+        # crash between the postings write and the manifest append leaves
+        # orphan bucket partitions, and the resumed run REPLACES exactly
+        # those partitions instead of appending duplicate blocks (which
+        # would double-count BM25 contributions at query time)
+        blocks.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(f"{out_dir}/postings")
+    except BaseException:
+        # don't leave the overlapped collision job orphaned on non-daemon
+        # pool threads: the caller's spark.stop() would race it, and
+        # interpreter shutdown blocks in concurrent.futures' atexit join
+        if collision_check is not None:
+            collision_check.cancel()
+            try:
+                collision_check.result(timeout=300)
+            except Exception:
+                pass
+        raise
 
     # join the overlapped collision check BEFORE committing the manifest:
     # a collision aborts with every bucket still unmarked (re-runnable)

@@ -165,22 +165,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    pairs_arr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size("ds")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["n"].alias("na"),
-                    y["n"].alias("nb"),
-                ),
+    pairs = (
+        _bucket_pairs(
+            grouped,
+            lambda x, y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                x["n"].alias("na"),
+                y["n"].alias("nb"),
             ),
         )
-    )
-    pairs = (
-        grouped.select(F.explode(pairs_arr).alias("p"))
         .select("p.*")
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
@@ -216,16 +210,31 @@ def exact_jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
 DEFAULT_MAX_BUCKET = 1000  # band buckets above this are boilerplate — skip
 
 
-def _ordered_pairs(ds):
-    """Column expr: sorted array of doc_ids → array<struct<doc_a,doc_b>>
-    of all ordered (i < j) pairs, generated inside the bucket row."""
-    return F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
+def _bucket_pairs(grouped: DataFrame, pair_struct) -> DataFrame:
+    """All ordered (i < j) element pairs of each bucket's sorted `ds`
+    array, as a STREAMED relation of `p` struct rows.
+
+    Shape: posexplode(ds) → per-element slice of the tail → explode.
+    Both explodes are pipelined by whole-stage codegen, so peak live
+    memory per bucket is O(|ds|) — never the O(|ds|²) single-array
+    value that a flatten-of-nested-transforms would materialize (a
+    ~2³¹ array-size / OOM cliff on a mega-bucket). Total work is still
+    Σ|ds|² pair emissions; callers bound it with a bucket cap, or (the
+    cap-free exact-Jaccard oracle) document the production stop-shingle
+    pass that removes mega-buckets first.
+
+    `pair_struct(x, y)`: builds the output struct from the earlier (x)
+    and later (y) element columns.
+    """
+    return (
+        grouped.select(F.posexplode("ds").alias("i", "x"), "ds")
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ds"), F.col("i") + 2, F.size("ds")),
+                    lambda y: pair_struct(F.col("x"), y),
+                )
+            ).alias("p")
         )
     )
 
@@ -260,11 +269,13 @@ def minhash_lsh_pairs(
     # re-run the whole signature subtree three times. The size filter is
     # both the ≥2 candidacy condition and the mega-bucket cap, applied
     # before any pair is generated.
-    cands = (
+    grouped = (
         bands.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
-        .select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
+    )
+    cands = (
+        _bucket_pairs(grouped, lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
@@ -302,21 +313,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
     )
-    pairs_arr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size("ds")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
-                ),
+    cands = (
+        _bucket_pairs(
+            in_bucket,
+            lambda x, y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
             ),
         )
-    )
-    cands = (
-        in_bucket.select(F.explode(pairs_arr).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
     )

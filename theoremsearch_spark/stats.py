@@ -209,12 +209,17 @@ def prepare_docs(
 
     def extract_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
-        # raise (never default to 0) if the extract job plans partitions
-        # differently from the count job — silent 0 = duplicate doc_ids
-        base = offsets[TaskContext.get().partitionId()]
+        base = None
         for pdf in batches:
             if pdf.empty:
                 continue
+            if base is None:
+                # resolved lazily so an empty partition (zero-row part
+                # file / empty split — absent from the count job's
+                # groupBy) never faults; raise (never default to 0) if a
+                # NON-empty partition is missing from the count job —
+                # silent 0 = duplicate doc_ids
+                base = offsets[TaskContext.get().partitionId()]
             texts, lens, tfs = [], [], []
             for raw in pdf["html"]:
                 text = extract_text(raw)
@@ -241,17 +246,58 @@ def prepare_docs(
             f"doc_id assignment drift: counted {expected} rows but wrote "
             f"{n_written} — partition planning changed between jobs"
         )
-    # count alone cannot see duplicate ids (right total, wrong values) —
-    # the id RANGE can: dense assignment must span exactly
-    # [id_base, id_base + expected). One small two-int aggregate.
-    rng = out.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
-    if expected and (int(rng["lo"]) != int(id_base) or int(rng["hi"]) != int(id_base) + expected - 1):
-        raise RuntimeError(
-            f"doc_id assignment drift: ids span [{rng['lo']}, {rng['hi']}], "
-            f"expected [{id_base}, {int(id_base) + expected - 1}] — "
-            "duplicate or gapped ids from partition-planning mismatch"
-        )
+    # count alone cannot see duplicate ids (right total, wrong values),
+    # and min/max misses compensating duplicate+gap drift in interior
+    # partitions. Exact check with ZERO data read: each task writes a
+    # consecutive ascending id run, so every parquet row group's
+    # (min, max, rows) must satisfy rows == max-min+1 and the sorted
+    # row-group intervals must tile [id_base, id_base+expected) exactly.
+    # Any cross-partition duplicate overlaps two intervals; any gap
+    # breaks the tiling — both caught from footer statistics alone.
+    if expected:
+        _assert_dense_ids_from_footers(out, f"{out_dir}/docs", int(id_base), expected)
     return out
+
+
+def _assert_dense_ids_from_footers(df: DataFrame, path: str, id_base: int, expected: int) -> None:
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    intervals: list[tuple[int, int, int]] = []
+    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "doc_id"
+        ) if md.num_row_groups else 0
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                # stats disabled — fall back to a (weaker) range aggregate
+                rng = df.agg(
+                    F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+                ).collect()[0]
+                if int(rng["lo"]) != id_base or int(rng["hi"]) != id_base + expected - 1:
+                    raise RuntimeError("doc_id assignment drift (range check)")
+                return
+            intervals.append((int(st.min), int(st.max), int(md.row_group(rg).num_rows)))
+    intervals.sort()
+    pos = id_base
+    for lo, hi, n in intervals:
+        if lo != pos or hi - lo + 1 != n:
+            raise RuntimeError(
+                f"doc_id assignment drift: row-group ids [{lo}, {hi}] ({n} rows) "
+                f"do not tile contiguously at {pos} — duplicate or gapped ids "
+                "from partition-planning mismatch between count and extract jobs"
+            )
+        pos = hi + 1
+    if pos != id_base + expected:
+        raise RuntimeError(
+            f"doc_id assignment drift: ids cover [{id_base}, {pos}) but "
+            f"expected [{id_base}, {id_base + expected})"
+        )
 
 
 def doc_stats(docs: DataFrame) -> tuple[int, float]:
