@@ -97,8 +97,59 @@ def idf(n_docs: int, df: np.ndarray) -> np.ndarray:
 _E3 = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
 
 
+class _Cols:
+    """One (query, segment) group's fan rows as plain numpy/array
+    columns, sorted by (term_id, segment, block_id). The pandas frame is
+    touched exactly once — per-group pandas groupby/sort/getitem
+    machinery measured ~3× the actual decode+score cost."""
+
+    __slots__ = (
+        "term_id", "segment", "block_id", "df", "first_doc", "last_doc",
+        "n_docs", "max_norm", "doc_bytes", "tf_bytes", "dl_bytes",
+        "is_filter", "fgroup", "id2term",
+    )
+
+    def __init__(self, pdf: pd.DataFrame):
+        term_id = pdf["term_id"].to_numpy(np.int64)
+        segment = pdf["segment"].to_numpy(np.int64)
+        block_id = pdf["block_id"].to_numpy(np.int64)
+        o = np.lexsort((block_id, segment, term_id))
+        self.term_id = term_id[o]
+        self.segment = segment[o]
+        self.block_id = block_id[o]
+        self.df = pdf["df"].to_numpy(np.int64)[o]
+        self.first_doc = pdf["first_doc"].to_numpy(np.int64)[o]
+        self.last_doc = pdf["last_doc"].to_numpy(np.int64)[o]
+        self.n_docs = pdf["n_docs"].to_numpy(np.int64)[o]
+        self.max_norm = pdf["max_tf_norm"].to_numpy(np.float64)[o]
+        db = pdf["doc_bytes"].to_numpy()
+        tb = pdf["tf_bytes"].to_numpy()
+        lb = pdf["dl_bytes"].to_numpy()
+        self.doc_bytes = db[o]
+        self.tf_bytes = tb[o]
+        self.dl_bytes = lb[o]
+        if "is_filter" in pdf.columns:
+            self.is_filter = pdf["is_filter"].to_numpy(bool)[o]
+            self.fgroup = pdf["fgroup"].to_numpy(np.int64)[o]
+        else:
+            self.is_filter = np.zeros(len(pdf), dtype=bool)
+            self.fgroup = np.full(len(pdf), -1, dtype=np.int64)
+        self.id2term = dict(
+            zip(pdf["term_id"].to_numpy(np.int64), pdf["term"].to_numpy())
+        )
+
+class _ColSlice:
+    """Index view over _Cols rows for one term's (already ordered)
+    blocks."""
+
+    __slots__ = ("c", "idx")
+
+    def __init__(self, c: _Cols, idx: np.ndarray):
+        self.c, self.idx = c, idx
+
+
 def _decode_run(
-    g: pd.DataFrame,
+    g: _ColSlice,
     *,
     q_segs: int,
     seg: int,
@@ -113,20 +164,21 @@ def _decode_run(
     `q_segs`/`seg`: when the query is segment-sharded, keep only docs of
     this task's residue (heavy lists arrive pre-routed; light lists are
     replicated and narrowed here)."""
+    c, idx = g.c, g.idx
     if restrict is not None:
         if restrict.size == 0:
             return _E3
-        first = g["first_doc"].to_numpy(np.int64)
-        last = g["last_doc"].to_numpy(np.int64)
+        first = c.first_doc[idx]
+        last = c.last_doc[idx]
         lo = np.searchsorted(restrict, first, side="left")
         hit = (lo < restrict.size) & (restrict[np.minimum(lo, restrict.size - 1)] <= last)
-        g = g.iloc[np.flatnonzero(hit)]
-    if not len(g):
+        idx = idx[hit]
+    if not idx.size:
         return _E3
-    nblk = g["n_docs"].to_numpy(np.int64)
-    gaps = codec.varbyte_decode(b"".join(g["doc_bytes"])).astype(np.int64)
-    tf = codec.varbyte_decode(b"".join(g["tf_bytes"])).astype(np.int64)
-    dl = codec.varbyte_decode(b"".join(g["dl_bytes"])).astype(np.int64)
+    nblk = c.n_docs[idx]
+    gaps = codec.varbyte_decode(b"".join(c.doc_bytes[idx])).astype(np.int64)
+    tf = codec.varbyte_decode(b"".join(c.tf_bytes[idx])).astype(np.int64)
+    dl = codec.varbyte_decode(b"".join(c.dl_bytes[idx])).astype(np.int64)
     # per-block cumsum: block-initial gap is the absolute doc_id, so
     # absolute = global_cumsum - (global_cumsum just before the block)
     cs = np.cumsum(gaps)
@@ -170,12 +222,21 @@ def _score_group(
     seg = int(pdf["serve_seg"].iloc[0]) if "serve_seg" in pdf else 0
     n_fgroups = int(pdf["n_fgroups"].iloc[0]) if "n_fgroups" in pdf else 0
 
-    pdf = pdf.sort_values(["term", "segment", "block_id"])
-    if "is_filter" in pdf:
-        filt = pdf[pdf["is_filter"]]
-        pdf = pdf[~pdf["is_filter"]]
-    else:
-        filt = pdf.iloc[0:0]
+    c = _Cols(pdf)  # one pandas→numpy conversion; everything below is numpy
+
+    def term_slices(mask: np.ndarray) -> list[tuple[int, np.ndarray]]:
+        """[(term_id, row idx array)] for rows under `mask`, grouped by
+        term_id (rows already lexsorted by term_id)."""
+        idx = np.flatnonzero(mask)
+        if not idx.size:
+            return []
+        tids = c.term_id[idx]
+        starts = np.flatnonzero(np.concatenate(([True], tids[1:] != tids[:-1])))
+        bounds = np.append(starts, tids.size)
+        return [
+            (int(tids[starts[j]]), idx[bounds[j] : bounds[j + 1]])
+            for j in range(starts.size)
+        ]
 
     # ---- resolve the allowed-doc set: broadcast set ∩ filter groups ----
     allowed = None
@@ -184,13 +245,16 @@ def _score_group(
         if q_segs > 1:
             allowed = allowed[(allowed % q_segs) == seg]
     if n_fgroups:
-        if filt["fgroup"].nunique() < n_fgroups:
+        fg_present = np.unique(c.fgroup[c.is_filter])
+        if fg_present.size < n_fgroups:
             # a required group has no postings in this segment → empty
             return _EMPTY_GROUP
-        for _, grows in filt.groupby("fgroup", sort=True):
+        for fg in fg_present:
             g_ids: np.ndarray | None = None
-            for _, trows in grows.groupby("term", sort=False):
-                di, _, _ = _decode_run(trows, q_segs=q_segs, seg=seg, restrict=None)
+            for _, tidx in term_slices(c.is_filter & (c.fgroup == fg)):
+                di, _, _ = _decode_run(
+                    _ColSlice(c, tidx), q_segs=q_segs, seg=seg, restrict=None
+                )
                 g_ids = di if g_ids is None else np.union1d(g_ids, di)
             if g_ids is None or g_ids.size == 0:
                 return _EMPTY_GROUP
@@ -200,40 +264,44 @@ def _score_group(
             if allowed.size == 0:
                 return _EMPTY_GROUP
 
-    if pdf.empty:
+    score_terms = term_slices(~c.is_filter)
+    if not score_terms:
         return _EMPTY_GROUP
 
-    # per-term metadata (a term's segments all share df/idf)
-    terms = pdf.groupby("term", sort=True).agg(
-        df=("df", "first"), max_norm=("max_tf_norm", "max")
-    ).reset_index()
-    terms["idf"] = idf(n_docs, terms["df"].to_numpy())
-    terms["ub"] = terms["idf"].to_numpy() * terms["max_norm"].to_numpy()
-    term_idf = dict(zip(terms["term"], terms["idf"]))
-    # process rarest-first (cheapest exact scoring first → early threshold)
-    order = terms.sort_values(["df", "term"]).reset_index(drop=True)
+    # per-term metadata (a term's segments all share df/idf), processed
+    # rarest-first (cheapest exact scoring first → early threshold);
+    # ties broken by term STRING for run-to-run determinism
+    t_df = np.array([c.df[tidx[0]] for _, tidx in score_terms], dtype=np.int64)
+    t_idf_arr = idf(n_docs, t_df)
+    t_ub = t_idf_arr * np.array(
+        [c.max_norm[tidx].max() for _, tidx in score_terms]
+    )
+    t_str = [c.id2term[tid] for tid, _ in score_terms]
+    order = sorted(range(len(score_terms)), key=lambda j: (t_df[j], t_str[j]))
 
-    by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
     decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    term_idf = dict(zip(t_str, t_idf_arr))
 
     def tf_norm(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
         return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
     # phase 1: exact partial scoring, rarest-first, with suffix-UB cutoff
     # (vectorized sorted-merge accumulation — no per-posting Python)
-    ubs = order["ub"].to_numpy()
+    ubs = t_ub[order]
     suffix_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
     ids_acc = np.empty(0, dtype=np.int64)
     sc_acc = np.empty(0, dtype=np.float64)
     threshold = -np.inf
     stop_at = len(order)
-    for i, row in order.iterrows():
+    for i, j in enumerate(order):
         if ids_acc.size >= k and suffix_ub[i] < threshold:
             stop_at = i
             break
-        di, tf, dl = _decode_run(by_term[row["term"]], q_segs=q_segs, seg=seg, restrict=allowed)
-        decoded[row["term"]] = (di, tf, dl)
-        contrib = row["idf"] * tf_norm(tf, dl)
+        di, tf, dl = _decode_run(
+            _ColSlice(c, score_terms[j][1]), q_segs=q_segs, seg=seg, restrict=allowed
+        )
+        decoded[t_str[j]] = (di, tf, dl)
+        contrib = t_idf_arr[j] * tf_norm(tf, dl)
         if ids_acc.size == 0:
             ids_acc, sc_acc = di.copy(), contrib.astype(np.float64)
         else:
@@ -246,18 +314,18 @@ def _score_group(
             threshold = float(np.partition(sc_acc, -k)[-k])
 
     # phase 2: candidates = docs whose partial + remaining UB could reach top-k
-    remaining = order.iloc[stop_at:]
+    remaining = order[stop_at:]
     cand_ids, cand_partial = ids_acc, sc_acc
-    if len(remaining) and cand_ids.size:
-        rem_ub = float(remaining["ub"].sum())
+    if remaining and cand_ids.size:
+        rem_ub = float(ubs[stop_at:].sum())
         keep = cand_partial + rem_ub >= threshold
         cand_ids = cand_ids[keep]
     cand_sorted = cand_ids  # already sorted (union1d invariant)
 
     # decode remaining (long) lists only at blocks where candidates live
-    for _, row in remaining.iterrows():
-        decoded[row["term"]] = _decode_run(
-            by_term[row["term"]], q_segs=q_segs, seg=seg, restrict=cand_sorted
+    for j in remaining:
+        decoded[t_str[j]] = _decode_run(
+            _ColSlice(c, score_terms[j][1]), q_segs=q_segs, seg=seg, restrict=cand_sorted
         )
 
     # phase 3: exact re-score of candidates in canonical (lexicographic)
