@@ -127,3 +127,28 @@ def test_simhash_recall_is_total(spark, planted_corpus):
     got = simhash_pairs(docs).toPandas()
     found = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
     assert found == truth
+
+
+def test_bucket_pairs_streams_large_bucket(spark):
+    """_bucket_pairs must stream a single large bucket (peak memory
+    O(|ds|) per row) instead of materializing the O(|ds|²) pair array as
+    one value — n=3000 members → 4,498,500 ordered pairs, which as a
+    flatten-of-transforms single array previously risked the array-size
+    cliff. Locks count and a sample of pair ordering."""
+    import pyspark.sql.functions as F
+
+    from theoremsearch_spark.functions.dedup import _bucket_pairs
+
+    n = 3000
+    grouped = spark.range(1).select(
+        F.sequence(F.lit(0), F.lit(n - 1)).alias("ds")
+    )
+    pairs = _bucket_pairs(
+        grouped, lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+    ).select("p.doc_a", "p.doc_b")
+    assert pairs.count() == n * (n - 1) // 2
+    agg = pairs.agg(
+        F.min("doc_a").alias("a0"), F.max("doc_b").alias("b1"),
+        F.sum(F.when(F.col("doc_a") < F.col("doc_b"), 0).otherwise(1)).alias("bad"),
+    ).collect()[0]
+    assert (agg["a0"], agg["b1"], agg["bad"]) == (0, n - 1, 0)
