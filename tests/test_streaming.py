@@ -307,3 +307,40 @@ def test_multi_generation_salted_routing(spark, tmp_path):
         np.testing.assert_allclose(
             got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
         )
+
+
+def test_compact_generations_preserves_ranking(spark, stream_index):
+    """Compaction merges all generations into one; the served top-k must
+    be rank-identical (scores bitwise-equal) to multi-generation serving,
+    and the superseded generations must vanish from the manifest view
+    atomically (via the `replaces` field, one rename)."""
+    import shutil
+
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        compact_generations,
+    )
+
+    out = stream_index["out"]
+    work = str(spark.conf.get("spark.local.dir", "/tmp"))
+    copy = f"{work}/compact_copy"
+    shutil.rmtree(copy, ignore_errors=True)
+    shutil.copytree(out, copy)
+
+    qs = query_set(N_DOCS)[["query_id", "query_text"]].head(15)
+    before = topk_all_generations(spark, copy, qs, k=10).toPandas()
+
+    res = compact_generations(
+        spark, copy, salt_threshold=400, n_segments=4, n_buckets=8
+    )
+    assert res["compacted"] and sorted(res["replaced"]) == [0, 1]
+    gens = _generations(spark, copy)
+    assert [g["gen"] for g in gens] == [res["generation"]]
+    assert gens[0]["n_docs"] == N_DOCS
+
+    after = topk_all_generations(spark, copy, qs, k=10).toPandas()
+    for df_ in (before, after):
+        df_.sort_values(["query_id", "rank"], inplace=True)
+        df_.reset_index(drop=True, inplace=True)
+    pd.testing.assert_frame_equal(before, after)
+    shutil.rmtree(copy, ignore_errors=True)

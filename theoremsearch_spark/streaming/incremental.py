@@ -32,26 +32,81 @@ from theoremsearch_spark.corpus import DOCUMENTS_SCHEMA
 def _generations(spark: SparkSession, out_dir: str) -> list[dict]:
     """Gens manifest = one JSON file per committed generation — atomic
     single-file writes, so concurrent executors/micro-batches never race
-    on a shared parquet committer dir."""
+    on a shared parquet committer dir.
+
+    A generation may carry `replaces: [gen, ...]` (written by
+    `compact_generations`): superseded generations are dropped from the
+    view the instant the compacted generation's manifest file appears
+    (one atomic rename), so readers never see a doc twice."""
     import glob
     import json
 
-    out = []
+    raw = []
     for f in sorted(glob.glob(f"{out_dir}/gens/gen_*.json")):
         with open(f) as fh:
-            out.append(json.load(fh))
-    return out
+            raw.append(json.load(fh))
+    replaced = {g for r in raw for g in r.get("replaces", [])}
+    return [r for r in raw if r["gen"] not in replaced]
 
 
-def commit_generation(out_dir: str, gen: int, base: int, n_docs: int) -> None:
+def commit_generation(
+    out_dir: str, gen: int, base: int, n_docs: int, replaces: list[int] = ()
+) -> None:
     import json
     import os
 
     os.makedirs(f"{out_dir}/gens", exist_ok=True)
     tmp = f"{out_dir}/gens/.gen_{gen}.json.tmp"
+    rec = {"gen": int(gen), "base": int(base), "n_docs": int(n_docs)}
+    if replaces:
+        rec["replaces"] = [int(g) for g in replaces]
     with open(tmp, "w") as fh:
-        json.dump({"gen": int(gen), "base": int(base), "n_docs": int(n_docs)}, fh)
+        json.dump(rec, fh)
     os.rename(tmp, f"{out_dir}/gens/gen_{gen}.json")
+
+
+def compact_generations(
+    spark: SparkSession, out_dir: str, min_generations: int = 2, **build_kwargs
+) -> dict:
+    """LSM-style merge: union every committed generation's docs table
+    (doc_ids already share one offset id space, so they pass through
+    unchanged) into one new generation, rebuild a single index over it,
+    and commit with `replaces=[old gens]` — ONE atomic manifest rename
+    swaps readers from G generations to 1, with no double-serving
+    window. Old generation directories become garbage that can be
+    deleted at leisure.
+
+    Why it matters at scale: a streaming index accumulates a generation
+    per micro-batch; serving cost grows with generation count (G× term
+    dictionaries, G posting lists per term, weaker per-generation
+    block-max bounds under merged stats). Compaction restores the
+    single-index serving profile — the analog of the reference's
+    periodic REINDEX over its ever-upserted Postgres tables.
+    """
+    from theoremsearch_spark.build import build_index
+
+    gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
+    if len(gens) < min_generations:
+        return {"compacted": False, "generations": len(gens)}
+    docs = None
+    for g in gens:
+        gd = f"{out_dir}/gen_{g['gen']}"
+        import os
+
+        path = f"{gd}/docs_offset" if os.path.exists(f"{gd}/docs_offset") else f"{gd}/docs"
+        part = spark.read.parquet(path)
+        docs = part if docs is None else docs.unionByName(part)
+    new_gen = max(g["gen"] for g in gens) + 1
+    new_dir = f"{out_dir}/gen_{new_gen}"
+    docs.write.mode("overwrite").parquet(f"{new_dir}/docs")
+    docs = spark.read.parquet(f"{new_dir}/docs")
+    n = docs.count()
+    build_index(docs, f"{new_dir}/index", resume=False, **build_kwargs)
+    commit_generation(
+        out_dir, new_gen, base=0, n_docs=n, replaces=[g["gen"] for g in gens]
+    )
+    return {"compacted": True, "generation": new_gen, "n_docs": n,
+            "replaced": [g["gen"] for g in gens]}
 
 
 def incremental_index(
@@ -109,13 +164,26 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
     gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
     if not gens:
         raise ValueError(f"no committed generations under {out_dir}")
-    metas = [
-        spark.read.parquet(f"{out_dir}/gen_{g['gen']}/index/doc_stats").collect()[0]
-        for g in gens
-    ]
-    n_docs = sum(m["n_docs"] for m in metas)
-    avgdl = sum(m["avgdl"] * m["n_docs"] for m in metas) / n_docs
-    k1, b = float(metas[0]["k1"]), float(metas[0]["b"])
+    gen_ids = [int(g["gen"]) for g in gens]
+
+    # O(1) Spark jobs regardless of generation count: a streaming index
+    # accumulates one generation per micro-batch, so per-generation reads
+    # (G driver collects + a G-way plan union) would grow the query plan
+    # linearly with uptime. Instead each small table is ONE multi-path
+    # scan with the generation id parsed from the file path.
+    gen_col = F.regexp_extract(F.input_file_name(), r"gen_(\d+)/index", 1).cast("int")
+
+    metas = {
+        int(r["gen"]): r
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(*[f"{out_dir}/gen_{g}/index/doc_stats" for g in gen_ids])
+        .withColumn("gen", gen_col)
+        .collect()
+    }
+    n_docs = sum(m["n_docs"] for m in metas.values())
+    avgdl = sum(m["avgdl"] * m["n_docs"] for m in metas.values()) / n_docs
+    any_meta = next(iter(metas.values()))
+    k1, b = float(any_meta["k1"]), float(any_meta["b"])
 
     # segment-sharded serving across generations: saltedness is a
     # PER-GENERATION property (each generation salted at its own df
@@ -123,41 +191,58 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
     # merged df. Sharding requires every generation to agree on the
     # segment modulus (doc_id % S); mixed moduli fall back to the
     # single-task path — correct, just unsharded.
-    seg_moduli = {int(m["n_segments"]) for m in metas if "n_segments" in m.__fields__}
+    seg_moduli = {
+        int(m["n_segments"]) for m in metas.values() if "n_segments" in m.__fields__
+    }
     n_segments = seg_moduli.pop() if len(seg_moduli) == 1 else 1
 
+    # per-generation broadcast frames: salt threshold and the block-max
+    # rescale factor (block max_tf_norm was computed with the
+    # GENERATION's avgdl; tf_norm is monotonically increasing in avgdl,
+    # bounded by the denominator ratio ≤ avgdl_merged/avgdl_gen — the
+    # scale keeps pruning sound under merged statistics)
+    import pandas as pd  # noqa: F811 — local alias for frame building
+
+    gen_info = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "gen": list(metas),
+                "salt_threshold": [
+                    int(m["salt_threshold"]) if "salt_threshold" in m.__fields__ else 2**62
+                    for m in metas.values()
+                ],
+                "ub_scale": [
+                    max(1.0, avgdl / float(m["avgdl"])) for m in metas.values()
+                ],
+            }
+        )
+    )
+
     all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
-    tstats = None
-    blocks = None
-    for g, m in zip(gens, metas):
-        idx = f"{out_dir}/gen_{g['gen']}/index"
-        thresh = (
-            int(m["salt_threshold"]) if "salt_threshold" in m.__fields__ else 2**62
+    tstats = (
+        spark.read.parquet(*[f"{out_dir}/gen_{g}/index/term_stats" for g in gen_ids])
+        .withColumn("gen", gen_col)
+        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(gen_info.select("gen", "salt_threshold")), "gen")
+        .withColumn("any_salted", F.col("df") > F.col("salt_threshold"))
+    )
+    salted_flags = tstats.select("gen", "term_id", F.col("any_salted").alias("is_salted"))
+    blocks = (
+        # recursiveFileLookup: the postings roots are bucket-partitioned
+        # (bucket=N dirs) and multi-root partition discovery rejects
+        # them; serving never reads the bucket column (it filters on
+        # term_id, pushed to row-group stats), so skipping partition
+        # inference loses nothing
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(*[f"{out_dir}/gen_{g}/index/postings" for g in gen_ids])
+        .withColumn("gen", gen_col)
+        .join(F.broadcast(gen_info.select("gen", "ub_scale")), "gen")
+        .withColumn(
+            "max_tf_norm", (F.col("max_tf_norm") * F.col("ub_scale")).cast("float")
         )
-        ts = (
-            spark.read.parquet(f"{idx}/term_stats")
-            .filter(F.col("term").isin(all_terms))
-            .withColumn("any_salted", F.col("df") > F.lit(thresh))
-        )
-        # block max_tf_norm was computed with the GENERATION's avgdl;
-        # tf_norm is monotonically increasing in avgdl, bounded by the
-        # denominator ratio ≤ avgdl_merged/avgdl_gen — scale the upper
-        # bound so block pruning stays sound under the merged statistics
-        scale = max(1.0, avgdl / float(m["avgdl"]))
-        bl = (
-            spark.read.parquet(f"{idx}/postings")
-            .withColumn(
-                "max_tf_norm", (F.col("max_tf_norm") * F.lit(scale)).cast("float")
-            )
-            .join(
-                F.broadcast(
-                    ts.select("term_id", F.col("any_salted").alias("is_salted"))
-                ),
-                "term_id",
-            )
-        )
-        tstats = ts if tstats is None else tstats.unionByName(ts)
-        blocks = bl if blocks is None else blocks.unionByName(bl)
+        .drop("ub_scale")
+        .join(F.broadcast(salted_flags), ["gen", "term_id"])
+    )
     merged = (
         tstats.groupBy("term", "term_id")
         .agg(F.sum("df").alias("df"), F.max("any_salted").alias("any_salted"))
