@@ -334,9 +334,16 @@ def test_compact_generations_preserves_ranking(spark, stream_index):
         spark, copy, salt_threshold=400, n_segments=4, n_buckets=8
     )
     assert res["compacted"] and sorted(res["replaced"]) == [0, 1]
+    assert res["generation"] == -1  # negative namespace: never collides with future batch ids
     gens = _generations(spark, copy)
     assert [g["gen"] for g in gens] == [res["generation"]]
     assert gens[0]["n_docs"] == N_DOCS
+
+    # raw manifest keeps superseded ids visible: an at-least-once replay
+    # of a compacted-away micro-batch must still hit the idempotent skip
+    from theoremsearch_spark.streaming.incremental import _raw_generations
+
+    assert {0, 1, -1} <= {g["gen"] for g in _raw_generations(copy)}
 
     after = topk_all_generations(spark, copy, qs, k=10).toPandas()
     for df_ in (before, after):

@@ -41,12 +41,23 @@ def _generations(spark: SparkSession, out_dir: str) -> list[dict]:
     import glob
     import json
 
+    raw = _raw_generations(out_dir)
+    replaced = {g for r in raw for g in r.get("replaces", [])}
+    return [r for r in raw if r["gen"] not in replaced]
+
+
+def _raw_generations(out_dir: str) -> list[dict]:
+    """Every manifest record, INCLUDING superseded generations — the
+    idempotency check for micro-batch replay must consult this view: a
+    batch whose generation was compacted away is still ingested."""
+    import glob
+    import json
+
     raw = []
     for f in sorted(glob.glob(f"{out_dir}/gens/gen_*.json")):
         with open(f) as fh:
             raw.append(json.load(fh))
-    replaced = {g for r in raw for g in r.get("replaces", [])}
-    return [r for r in raw if r["gen"] not in replaced]
+    return raw
 
 
 def commit_generation(
@@ -96,7 +107,12 @@ def compact_generations(
         path = f"{gd}/docs_offset" if os.path.exists(f"{gd}/docs_offset") else f"{gd}/docs"
         part = spark.read.parquet(path)
         docs = part if docs is None else docs.unionByName(part)
-    new_gen = max(g["gen"] for g in gens) + 1
+    # compacted generations live in a NEGATIVE id namespace: streaming
+    # micro-batch ids are non-negative and grow without bound, so any
+    # positive compaction id would eventually collide with a future
+    # batch — which would overwrite the compacted manifest entry and
+    # ingest into its directory. First compaction = -1, then -2, …
+    new_gen = min(0, min(g["gen"] for g in _raw_generations(out_dir))) - 1
     new_dir = f"{out_dir}/gen_{new_gen}"
     docs.write.mode("overwrite").parquet(f"{new_dir}/docs")
     docs = spark.read.parquet(f"{new_dir}/docs")
@@ -128,9 +144,12 @@ def incremental_index(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        gens = _generations(spark, out_dir)
-        if any(g["gen"] == batch_id for g in gens):
+        # idempotency consults the RAW manifest: a replayed batch whose
+        # generation was meanwhile compacted away must still be skipped
+        # (its docs live inside the compacted generation)
+        if any(g["gen"] == batch_id for g in _raw_generations(out_dir)):
             return  # replay of a committed batch — idempotent skip
+        gens = _generations(spark, out_dir)
         base = sum(g["n_docs"] for g in gens)
         gen_dir = f"{out_dir}/gen_{batch_id}"
         docs = prepare_docs(batch_df, gen_dir)
@@ -171,7 +190,7 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
     # (G driver collects + a G-way plan union) would grow the query plan
     # linearly with uptime. Instead each small table is ONE multi-path
     # scan with the generation id parsed from the file path.
-    gen_col = F.regexp_extract(F.input_file_name(), r"gen_(\d+)/index", 1).cast("int")
+    gen_col = F.regexp_extract(F.input_file_name(), r"gen_(-?\d+)/index", 1).cast("int")
 
     metas = {
         int(r["gen"]): r
