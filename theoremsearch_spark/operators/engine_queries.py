@@ -171,7 +171,7 @@ def _ensure_generations(spark, sf_dir: str) -> str:
     the harness stays deterministic."""
     from theoremsearch_spark.streaming.incremental import commit_generation
 
-    out = os.path.join(tempfile.gettempdir(), f"ts_harness_gens_{_content_key(sf_dir)}")
+    out = os.path.join(tempfile.gettempdir(), f"ts_harness_gens2_{_content_key(sf_dir)}")
     marker = os.path.join(out, "_done")
     if not os.path.exists(marker):
         d = t(spark, sf_dir, "documents")
@@ -185,11 +185,38 @@ def _ensure_generations(spark, sf_dir: str) -> str:
                 F.size(F.split(F.col("text"), " ")).alias("doc_len"),
             )
             gen_dir = os.path.join(out, f"gen_{gen}")
+            # docs table per generation: compaction's input
+            docs.write.mode("overwrite").parquet(f"{gen_dir}/docs")
+            docs = spark.read.parquet(f"{gen_dir}/docs")
             build_index(
                 docs, f"{gen_dir}/index",
                 salt_threshold=200, n_segments=4, n_buckets=8, resume=False,
             )
             commit_generation(out, gen, 0 if gen == 0 else mid + 1, part.count())
+        open(marker, "w").close()
+    return out
+
+
+def _ensure_compacted(spark, sf_dir: str) -> str:
+    """The two-generation layout compacted into one (LSM merge) — cached
+    content-keyed like the other harness fixtures. Compaction mutates
+    the manifest, so it runs on a COPY of the gens fixture."""
+    import shutil
+
+    from theoremsearch_spark.streaming.incremental import compact_generations
+
+    src = _ensure_generations(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), f"ts_harness_compact_{_content_key(sf_dir)}"
+    )
+    marker = os.path.join(out, "_done_compact")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(src, out)
+        res = compact_generations(
+            spark, out, salt_threshold=200, n_segments=4, n_buckets=8
+        )
+        assert res["compacted"], res
         open(marker, "w").close()
     return out
 
@@ -206,6 +233,22 @@ def q_bm25_multi_generation(spark, sf_dir):
     gens = _ensure_generations(spark, sf_dir)
     qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
     hits = topk_all_generations(spark, gens, qs, k=K)
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "rank")
+
+
+def q_bm25_compacted(spark, sf_dir):
+    """Serve AFTER LSM compaction of the two generations into one —
+    scores must still equal the from-scratch single-index build, so the
+    oracle is the same full-corpus BM25 SQL. Locks the whole
+    merge→rebuild→atomic-supersede path against the independent DuckDB
+    recomputation."""
+    from theoremsearch_spark.streaming.incremental import topk_all_generations
+
+    root = _ensure_compacted(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    hits = topk_all_generations(spark, root, qs, k=K)
     return hits.select(
         "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
     ).orderBy("query_id", "rank")
@@ -323,6 +366,7 @@ QUERIES = {
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_rescored": q_bm25_topk_rescored,
     "bm25_multi_generation": q_bm25_multi_generation,
+    "bm25_compacted": q_bm25_compacted,
 }
 ORACLES = {
     "bm25_topk": _bm25_oracle_sql(),
@@ -331,4 +375,6 @@ ORACLES = {
     "bm25_topk_rescored": _bm25_rescored_oracle_sql(),
     # generation-merge must reproduce the single-index ranking exactly
     "bm25_multi_generation": _bm25_oracle_sql(),
+    # ...and so must serving after LSM compaction of those generations
+    "bm25_compacted": _bm25_oracle_sql(),
 }
