@@ -63,12 +63,24 @@ def main(argv: list[str] | None = None) -> int:
     docs = prepare_docs(documents, args.out)
     counts["input"] = docs.count()
 
-    # quality gate — pure column predicates, pushed into the scan
-    toks = F.split(F.col("extracted_text"), " ")
-    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(F.col("doc_len"), F.lit(1))
-    mean_tok_len = (F.length(F.col("extracted_text")) - F.col("doc_len") + 1) / F.greatest(
-        F.col("doc_len"), F.lit(1)
+    # quality gate — pure column predicates, pushed into the scan.
+    # Both ratios derive from the SAME tokenization that produced
+    # doc_len: term_tfs is "term:tf term:tf …" over tokenize(), so the
+    # distinct count is its entry count and the summed token length is
+    # Σ len(term)·tf — no second (whitespace) token definition that
+    # would let distinct_ratio exceed 1 or skew mean_tok_len on
+    # punctuated text.
+    tf_entries = F.split(F.col("term_tfs"), " ")
+    n_distinct = F.when(F.col("doc_len") > 0, F.size(tf_entries)).otherwise(F.lit(0))
+    distinct_ratio = n_distinct / F.greatest(F.col("doc_len"), F.lit(1))
+    total_tok_chars = F.aggregate(
+        F.when(F.col("doc_len") > 0, tf_entries).otherwise(F.array().cast("array<string>")),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.length(F.substring_index(e, ":", 1)).cast("long")
+        * F.substring_index(e, ":", -1).cast("long"),
     )
+    mean_tok_len = total_tok_chars / F.greatest(F.col("doc_len"), F.lit(1))
     quality = (
         docs.filter(F.col("doc_len").between(args.min_tokens, args.max_tokens))
         .filter(distinct_ratio >= args.min_distinct_ratio)

@@ -90,6 +90,35 @@ def test_udtf_parity_with_pure_function(spark):
     assert (got["url"] == "none").sum() == 0
 
 
+def test_prepare_units_multipartition_local_relation_unique_ids(spark, tmp_path):
+    """The vulnerable source shape: a MULTI-partition local relation,
+    where a spark_partition_id() column can be evaluated before an
+    implicit exchange and silently repeat base offsets (the prepare_docs
+    bug, stats.py:146-157). TaskContext-based assignment must yield
+    globally unique unit_ids and dense per-doc doc_ids regardless."""
+    docs = [
+        (f"https://x.test/{i:04d}",
+         f"<html><body><h1>D{i}</h1><p>alpha {i}</p>"
+         f"<h2>S</h2><p>beta {i}</p></body></html>".encode())
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "url string, html binary").repartition(8)
+    assert df.rdd.getNumPartitions() == 8
+    units = prepare_units(df, str(tmp_path)).toPandas()
+    # globally unique unit ids; every doc produced exactly 2 units
+    assert units["unit_id"].is_unique
+    assert len(units) == 120
+    assert units["doc_id"].nunique() == 60
+    # doc_id space dense: [0, 60)
+    assert set(units["doc_id"]) == set(range(60))
+    # each unit maps back to its own url: no doc got another doc's rows
+    per_doc = units.groupby("doc_id")["url"].nunique()
+    assert per_doc.eq(1).all()
+    # the composite id invariant holds across all partitions
+    uid = units["unit_id"].to_numpy()
+    assert ((uid >> UNIT_SHIFT) == units["doc_id"].to_numpy()).all()
+
+
 def test_prepare_units_and_unit_index(spark, tmp_path):
     """documents → units table → per-unit inverted index: the planted
     marker token retrieves exactly its unit (not the whole doc)."""

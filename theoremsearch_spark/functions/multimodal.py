@@ -68,6 +68,16 @@ def make_synthetic_image(media_id: int, width: int, height: int) -> bytes:
     return b"SYN0" + struct.pack("<II", width, height) + pixels
 
 
+def make_oracle_image(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic, SQL-reconstructible fake image: b'SYN0' + w + h +
+    pixel bytes (media_id + i) % 256. Unlike make_synthetic_image (rng
+    pixels), this pattern can be rebuilt byte-for-byte inside DuckDB
+    (to_hex/list_transform), so the driver-gate oracle hashes the exact
+    payload the Spark UDF pipeline processed."""
+    px = ((np.arange(width * height) + media_id) % 256).astype(np.uint8)
+    return b"SYN0" + struct.pack("<II", width, height) + px.tobytes()
+
+
 def _decode_image_stub(raw: bytes) -> tuple[int, int, np.ndarray] | None:
     """STUB: real deployments replace this one function with
     PIL.Image.open / cv2.imdecode. Decodes only the synthetic format;

@@ -20,6 +20,8 @@ import os
 import tempfile
 import zipfile
 
+import pandas as pd
+
 from pyspark.sql import Window as W, functions as F, types as T
 
 from theoremsearch_spark.operators.relational import t
@@ -272,8 +274,77 @@ def q_window_tumbling_agg(spark, sf_dir):  # streaming primitive, batch-checked
     )
 
 
+MEDIA_DOCS = 200
+
+
+def q_multimodal_image_meta(spark, sf_dir):
+    """Multimodal driver-gate row: synthesize a deterministic media
+    table from `documents` (payload = make_oracle_image — a pattern
+    DuckDB can rebuild byte-for-byte), run the real mapInPandas
+    decode/feature pipeline (functions/multimodal.py), and return the
+    typed metadata plus an md5 of the payload's lowercase hex. The
+    oracle reconstructs the same bytes in SQL and hashes them, so a
+    match proves the sniff + header decode + byte accounting end-to-end.
+    Reference analog: content sniffing + per-format handling
+    (/root/reference/ec2/parse_arxiv_papers/download_and_extract_paper.py:48-95)."""
+    from theoremsearch_spark.functions.multimodal import (
+        extract_image_features,
+        make_oracle_image,
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def gen_payload(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series(
+            [make_oracle_image(int(m), int(a), int(b)) for m, a, b in zip(mid, w, h)]
+        )
+
+    d = t(spark, sf_dir, "documents")
+    media = (
+        d.filter(F.col("doc_id") < MEDIA_DOCS)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+            (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+        )
+        .withColumn("payload", gen_payload("media_id", "width", "height"))
+    )
+    meta = extract_image_features(media.select("media_id", "payload"))
+    md5s = media.select(
+        "media_id", F.md5(F.lower(F.hex("payload"))).alias("payload_md5")
+    )
+    return (
+        meta.join(md5s, "media_id")
+        .select("media_id", "format", "width", "height", "n_bytes", "payload_md5")
+        .orderBy("media_id")
+    )
+
+
+def _multimodal_oracle() -> str:
+    return f"""
+        WITH m AS (
+            SELECT doc_id::BIGINT AS media_id,
+                   (8 + doc_id % 9)::INT AS width,
+                   (8 + doc_id % 7)::INT AS height
+            FROM documents WHERE doc_id < {MEDIA_DOCS})
+        SELECT media_id, 'synthetic' AS format, width, height,
+               (12 + width * height)::INT AS n_bytes,
+               md5(lower(
+                   '53594e30'
+                   || lpad(to_hex(width % 256), 2, '0')
+                   || lpad(to_hex((width // 256) % 256), 2, '0') || '0000'
+                   || lpad(to_hex(height % 256), 2, '0')
+                   || lpad(to_hex((height // 256) % 256), 2, '0') || '0000'
+                   || array_to_string(list_transform(
+                          range(0, width * height),
+                          i -> lpad(to_hex((media_id + i) % 256), 2, '0')), '')
+               )) AS payload_md5
+        FROM m ORDER BY media_id
+    """
+
+
 QUERIES = {
     "filter_notnull": q_filter_notnull,
+    "multimodal_image_meta": q_multimodal_image_meta,
     "type_whitelist": q_type_whitelist,
     "window_tumbling_agg": q_window_tumbling_agg,
     "map_union": q_map_union,
@@ -317,6 +388,7 @@ ORACLES = {
         FROM d ORDER BY doc_id
     """,
     "ir_metrics": _ir_metrics_oracle(),
+    "multimodal_image_meta": _multimodal_oracle(),
     "read_zip_json": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id < {ZIP_DOCS} ORDER BY doc_id

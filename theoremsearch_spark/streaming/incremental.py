@@ -210,8 +210,14 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
     # merged df. Sharding requires every generation to agree on the
     # segment modulus (doc_id % S); mixed moduli fall back to the
     # single-task path — correct, just unsharded.
+    # field-presence alone is not enough: with mergeSchema=true the
+    # column exists for EVERY row and is NULL for generations built by
+    # older code — treat NULL as the legacy default (unsharded)
     seg_moduli = {
-        int(m["n_segments"]) for m in metas.values() if "n_segments" in m.__fields__
+        int(m["n_segments"])
+        if "n_segments" in m.__fields__ and m["n_segments"] is not None
+        else 1
+        for m in metas.values()
     }
     n_segments = seg_moduli.pop() if len(seg_moduli) == 1 else 1
 
@@ -227,7 +233,10 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
             {
                 "gen": list(metas),
                 "salt_threshold": [
-                    int(m["salt_threshold"]) if "salt_threshold" in m.__fields__ else 2**62
+                    int(m["salt_threshold"])
+                    if "salt_threshold" in m.__fields__
+                    and m["salt_threshold"] is not None
+                    else 2**62
                     for m in metas.values()
                 ],
                 "ub_scale": [

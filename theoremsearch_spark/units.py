@@ -196,34 +196,75 @@ UNITS_SCHEMA = T.StructType(
 
 
 def prepare_units(documents: DataFrame, out_dir: str) -> DataFrame:
-    """documents(url, html, …) → units table in ONE narrow Python pass
-    (count job reads only parquet footers), parquet-written.
+    """documents(url, html, …) → units table in ONE narrow Python pass,
+    parquet-written.
 
     unit_id = (doc_offset + row) << UNIT_SHIFT | seq: composite ids keep
     one extraction pass; build_index consumes the result directly
     (unit_id → doc_id, body → text) with term_tfs pre-tokenized so no
-    later stage re-enters Python."""
+    later stage re-enters Python.
+
+    Partition identity comes from TaskContext inside the python worker,
+    never from a spark_partition_id() column — same contract as
+    stats.prepare_docs: on non-file sources Catalyst can evaluate that
+    projection before an implicit exchange, making the column constant 0
+    across partitions → silent duplicate doc_id/unit_id. The count job
+    mirrors prepare_docs' two paths (footer count for file scans, a
+    TaskContext mapInPandas count with the identical plan prefix
+    otherwise), and a footer-interval post-check rejects overlapping id
+    runs after the write."""
     from collections import Counter
+
+    from pyspark import TaskContext
 
     spark = documents.sparkSession
     src = documents.select("url", "html")
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in src.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
+
+    try:
+        is_file_source = bool(src.inputFiles())
+    except Exception:
+        is_file_source = False
+
+    if is_file_source:
+        # spark_partition_id() is computed in the scan stage itself for a
+        # file scan (no exchange can precede it) — footer-only count.
+        counts = {
+            int(r["pid"]): int(r["cnt"])
+            for r in src.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        }
+    else:
+
+        def count_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid, n = TaskContext.get().partitionId(), 0
+            for pdf in batches:
+                n += len(pdf)
+            yield pd.DataFrame({"pid": [pid], "cnt": [n]})
+
+        counts = {
+            int(r["pid"]): int(r["cnt"])
+            for r in src.select("url").mapInPandas(
+                count_parts, schema="pid int, cnt long"
+            ).collect()
+        }
     offsets = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    expected_docs = acc
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
+        base = None
         for pdf in batches:
             if pdf.empty:
                 continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
+            if base is None:
+                # lazy so an empty partition (absent from the count job)
+                # never faults; a NON-empty partition missing from the
+                # count map raises — silent 0 = duplicate unit_ids
+                base = offsets[TaskContext.get().partitionId()]
             rows = []
             for url, raw in zip(pdf["url"], pdf["html"]):
                 doc_id = base + local
@@ -252,11 +293,68 @@ def prepare_units(documents: DataFrame, out_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in UNITS_SCHEMA.fields])
 
-    units = src.withColumn("_pid", F.spark_partition_id()).mapInPandas(
-        gen, schema=UNITS_SCHEMA
-    )
+    units = src.mapInPandas(gen, schema=UNITS_SCHEMA)
     units.write.mode("overwrite").parquet(f"{out_dir}/units")
-    return spark.read.parquet(f"{out_dir}/units")
+    out = spark.read.parquet(f"{out_dir}/units")
+    if expected_docs:
+        _assert_unit_ids_sound(out, f"{out_dir}/units", expected_docs)
+    return out
+
+
+def _assert_unit_ids_sound(df: DataFrame, path: str, expected_docs: int) -> None:
+    """Post-write duplicate-id check from parquet footer stats alone.
+
+    Each task writes a strictly ascending unit_id run over a disjoint
+    doc_id range, so the sorted row-group (min, max) intervals must be
+    non-overlapping and every id must fall in [0, expected_docs << SHIFT).
+    Unlike prepare_docs' exact tiling, gaps are legitimate here (a doc
+    yields < 2^UNIT_SHIFT units, and empty docs yield none) — overlap is
+    the signature of the constant-partition-id failure this guards."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    intervals: list[tuple[int, int]] = []
+    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        if not md.num_row_groups:
+            continue
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "unit_id"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                # stats disabled — weaker (shuffling) fallback: ids unique
+                n, d = df.agg(
+                    F.count("*").alias("n"),
+                    F.count_distinct("unit_id").alias("d"),
+                ).collect()[0]
+                if int(n) != int(d):
+                    raise RuntimeError(
+                        "unit_id assignment drift: duplicate unit_ids "
+                        "(distinct-count check)"
+                    )
+                return
+            intervals.append((int(st.min), int(st.max)))
+    intervals.sort()
+    prev_hi = -1
+    for lo, hi in intervals:
+        if lo <= prev_hi:
+            raise RuntimeError(
+                f"unit_id assignment drift: row-group id run [{lo}, {hi}] "
+                f"overlaps a prior run ending at {prev_hi} — duplicate ids "
+                "from partition-planning mismatch between count and extract jobs"
+            )
+        prev_hi = hi
+    if intervals and (
+        intervals[0][0] < 0 or prev_hi >= (expected_docs << UNIT_SHIFT)
+    ):
+        raise RuntimeError(
+            f"unit_id assignment drift: ids outside "
+            f"[0, {expected_docs} << {UNIT_SHIFT})"
+        )
 
 
 def build_unit_index(units: DataFrame, out_dir: str, **kwargs) -> dict:
