@@ -94,7 +94,10 @@ def main() -> int:
             hits = topk(spark, f"{work}/index", qs, k=10)
             return hits.count()
 
-        rows = timed("engine_topk", serve)
+        # min-of-3: r2's driver sample (22 q/s) contradicted the pinned
+        # protocol (35 q/s) on a single noisy rep; three reps bound the
+        # steal-storm tail
+        rows = timed("engine_topk", serve, reps=3)
         extras["topk_rows"] = rows
         extras["query_p50_est_sec"] = round(timings["engine_topk"] / len(qs), 4)
         extras["queries_per_sec"] = round(len(qs) / timings["engine_topk"], 2)
@@ -106,7 +109,9 @@ def main() -> int:
             hits = topk(spark, f"{work}/index", qs, k=10, filters=["lang=en"])
             return hits.count()
 
-        extras["topk_filtered_rows"] = timed("engine_topk_filtered", serve_filtered)
+        extras["topk_filtered_rows"] = timed(
+            "engine_topk_filtered", serve_filtered, reps=3
+        )
 
         # --- headline operators over the driver tables -----------------
         heads = {

@@ -17,8 +17,8 @@ import pytest
 
 from theoremsearch_spark.functions.dedup import (
     minhash_lsh_pairs,
-    simhash64,
     simhash_pairs,
+    simhash_signatures,
 )
 
 rng = np.random.default_rng(123)
@@ -116,17 +116,69 @@ def test_simhash_recall_is_total(spark, planted_corpus):
                             "n_chars": [len(e[1]) for e in extra]})],
         ignore_index=True,
     )
-    sigs = {int(r.doc_id): simhash64(r.text) for r in allpdf.itertuples()}
+    docs = spark.createDataFrame(allpdf)
+    # truth from the shared signature stage, compared EXHAUSTIVELY
+    # (all-pairs Hamming) — the property under test is that chunk
+    # banding loses no pair within the Hamming ball, independent of the
+    # hash family producing the signatures
+    mask = (1 << 64) - 1
+    sigs = {
+        int(r["doc_id"]): int(r["sh"]) & mask
+        for r in simhash_signatures(docs).collect()
+    }
     truth = set()
     for a, b in itertools.combinations(sorted(sigs), 2):
-        h = bin(sigs[a] ^ sigs[b]).count("1")
+        h = bin((sigs[a] ^ sigs[b]) & mask).count("1")
         if h <= 3:
             truth.add((a, b))
     assert truth, "fixture produced no Hamming-≤3 pairs"
-    docs = spark.createDataFrame(allpdf)
     got = simhash_pairs(docs).toPandas()
     found = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
     assert found == truth
+
+
+def test_ngram_jaccard_stop_shingle_guard(spark, planted_corpus):
+    """The production mega-shingle guard: a planted boilerplate prefix
+    shared by 80 docs (df=80 shingles → 3,160 pair emissions EACH
+    without the cap) is dropped before pair generation, near-dup recall
+    at J ≥ 0.8 is unchanged, and on the cap-clean base corpus the capped
+    operator is bit-identical to cap-free."""
+    from theoremsearch_spark.functions.dedup import ngram_jaccard_pairs
+
+    pdf, truth_hi = planted_corpus
+    docs = spark.createDataFrame(pdf)
+    # 1. no shingle in the base corpus exceeds the cap → identical output
+    free = ngram_jaccard_pairs(docs).orderBy("doc_a", "doc_b").toPandas()
+    capped = (
+        ngram_jaccard_pairs(docs, max_shingle_df=30)
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(free, capped)
+    assert set(zip(free["doc_a"], free["doc_b"])) >= truth_hi
+    # 2. plant a boilerplate prefix on 80 fresh docs: every prefix
+    # shingle has df=80 ≫ cap; their unique tails keep them below J=0.8
+    # with each other, so cap-free output gains nothing — but cap-free
+    # WORK is ~58 shingles × C(80,2) ≈ 183k pair emissions vs ~0 capped
+    boiler = "the quick brown fox portal navigation footer copyright " * 10
+    extra = pd.DataFrame(
+        {
+            "doc_id": [5000 + i for i in range(80)],
+            "text": [boiler + " ".join(f"u{i:03d}q{j}" for j in range(40)) for i in range(80)],
+            "n_chars": [100] * 80,
+        }
+    )
+    docs2 = spark.createDataFrame(pd.concat([pdf, extra], ignore_index=True))
+    got = (
+        ngram_jaccard_pairs(docs2, max_shingle_df=30)
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+    found = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    boiler_ids = set(range(5000, 5080))
+    # no boilerplate-only pair survives; planted near-dups all do
+    assert not any(a in boiler_ids and b in boiler_ids for a, b in found)
+    assert found >= truth_hi
 
 
 def test_bucket_pairs_streams_large_bucket(spark):

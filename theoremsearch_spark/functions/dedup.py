@@ -22,19 +22,20 @@ Scale design notes (the point of each variant at 100 TB):
     by tests/test_dedup.py::test_simhash_recall_is_total). Same
     mega-bucket cap.
 
-All signatures use a keyed blake2b token hash — never Python's
-builtin hash(), which is salted per process and would break
-determinism across executors.
+Tokens/shingles are hashed JVM-side with F.xxhash64 (codegen'd,
+deterministic across executors — never Python's salted builtin hash());
+the pandas UDFs receive array<long> hash arrays and do only the
+K-permutation min / bit-majority in batch-level numpy reduceat ops, so
+no per-token Python runs anywhere in the signature path.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from theoremsearch_spark.operators.relational import t
 
@@ -47,55 +48,100 @@ _A = _rng.integers(1, _MERSENNE, MINHASH_K, dtype=np.int64).astype(np.uint64)
 _B = _rng.integers(0, _MERSENNE, MINHASH_K, dtype=np.int64).astype(np.uint64)
 
 
-def _token_hash64(tokens: list[str]) -> np.ndarray:
-    return np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in tokens
-        ],
-        dtype=np.uint64,
+def shingle_hashes_col(text_col: Column) -> Column:
+    """Distinct xxhash64 values of the 3-token shingles of `text_col`,
+    computed entirely JVM-side (whole-stage codegen) — the same shingle
+    definition q_dedup_ngram_jaccard indexes. Texts shorter than one
+    shingle hash their full token join (one shingle)."""
+    w = F.split(text_col, " ")
+    n_sh = F.greatest(F.size(w) - (SHINGLE - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, SHINGLE))),
+        )
     )
 
 
-def minhash_signature(text: str) -> np.ndarray:
-    """64-value MinHash signature over 3-token shingles."""
-    toks = text.split(" ")
-    shingles = (
-        [" ".join(toks[i : i + SHINGLE]) for i in range(len(toks) - SHINGLE + 1)]
-        if len(toks) >= SHINGLE
-        else [" ".join(toks)]
-    )
-    h = np.unique(_token_hash64(shingles)) % np.uint64(_MERSENNE)
-    # sig_i = min over shingles of (a_i*h + b_i) mod p  (vectorized outer)
-    vals = (h[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
-    return vals.min(axis=1)
+def token_hashes_col(text_col: Column) -> Column:
+    """xxhash64 per whitespace token, duplicates kept (tf weighting for
+    SimHash's bit majority)."""
+    return F.transform(F.split(text_col, " "), lambda tok: F.xxhash64(tok))
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens weighted by tf."""
-    toks = text.split(" ")
-    if not toks:
-        return 0
-    h = _token_hash64(toks)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
-    acc = (2 * bits - 1).sum(axis=0)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+def _widen(docs: DataFrame) -> DataFrame:
+    """Small inputs (one parquet file = one scan partition) would run
+    the expensive shingle/signature projections single-threaded; widen
+    to the session's parallelism first. No-op at scale: a real corpus
+    already has ≥ parallelism partitions and skips the shuffle."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        return docs.repartition(sc.defaultParallelism)
+    return docs
+
+
+def _flatten_hash_arrays(hs: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Series of int64 hash arrays → (flat uint64 view, segment starts)
+    for numpy ufunc.reduceat. Empty rows get one zero hash so every
+    segment is non-empty (reduceat cannot express empty segments)."""
+    arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+    if any(a.size == 0 for a in arrs):
+        arrs = [a if a.size else np.zeros(1, np.int64) for a in arrs]
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+    flat = np.concatenate(arrs) if arrs else np.zeros(0, np.int64)
+    starts = np.zeros(len(arrs), dtype=np.int64)
+    if len(arrs) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    return flat.view(np.uint64), starts
 
 
 _SIG_TYPE = T.ArrayType(T.LongType())
 
 
 @F.pandas_udf(_SIG_TYPE)
-def minhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda s: minhash_signature(s).astype(np.int64).tolist())
+def minhash_sig_udf(hashes: pd.Series) -> pd.Series:
+    """Pre-hashed shingles → 64-value MinHash signature.
+    sig_k = min over shingles of (a_k·h + b_k) mod p — ONE vectorized
+    multiply + reduceat per permutation per Arrow batch; zero per-row
+    Python."""
+    flat, starts = _flatten_hash_arrays(hashes)
+    if starts.size == 0:
+        return pd.Series([], dtype=object)
+    h = flat % np.uint64(_MERSENNE)
+    sig = np.empty((MINHASH_K, starts.size), dtype=np.uint64)
+    for k in range(MINHASH_K):
+        sig[k] = np.minimum.reduceat((h * _A[k] + _B[k]) % np.uint64(_MERSENNE), starts)
+    return pd.Series(sig.T.astype(np.int64).tolist())
 
 
 @F.pandas_udf(T.LongType())
-def simhash_udf(text: pd.Series) -> pd.Series:
-    # store as signed 64-bit (two's complement) for Spark LongType
-    return text.map(lambda s: np.uint64(simhash64(s)).astype(np.int64).item())
+def simhash_sig_udf(hashes: pd.Series) -> pd.Series:
+    """Pre-hashed tokens (duplicates = tf weight) → 64-bit SimHash via
+    per-bit signed majority; one reduceat per bit per Arrow batch."""
+    flat, starts = _flatten_hash_arrays(hashes)
+    if starts.size == 0:
+        return pd.Series([], dtype="int64")
+    res = np.zeros(starts.size, dtype=np.uint64)
+    for bit in range(64):
+        b = (((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) << 1) - 1
+        res |= (np.add.reduceat(b, starts) > 0).astype(np.uint64) << np.uint64(bit)
+    # stored as signed 64-bit (two's complement) for Spark LongType
+    return pd.Series(res.view(np.int64))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, sig array<long>) — the signature
+    stage shared by minhash_lsh_pairs and the recall tests."""
+    return _widen(docs).select(
+        "doc_id", minhash_sig_udf(shingle_hashes_col(F.col("text"))).alias("sig")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, sh long) — shared signature stage."""
+    return _widen(docs).select(
+        "doc_id", simhash_sig_udf(token_hashes_col(F.col("text"))).alias("sh")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -121,50 +167,54 @@ LENGTH_BAND = 32  # chars per blocking band
 JACCARD_THRESHOLD = 0.8
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Exact shingle-set Jaccard via an inverted shingle index — the
     deterministic mirror of MinHash (same 3-token shingles, exact
     instead of sketched):
 
       doc → distinct xxhash64(3-token shingle) set
           → explode (doc, shingle) rows
-          → self equi-join on shingle, groupBy pair → |A∩B| directly
-          → J = |A∩B| / (|A|+|B|−|A∩B|), keep J ≥ 0.8.
+          → groupBy shingle, in-group ordered pairs → |A∩B| directly
+          → J = |A∩B| / (|A|+|B|−|A∩B|), keep J ≥ threshold.
 
     Work is Σ_shingle df² — shingles are selective (word ORDER, not
     vocabulary), so df ≈ 1 except for true near-dups and the total is
     ~linear in corpus size; an early length-band cross-join variant did
     Σ_block² array intersects and was 50× slower on the same input.
-    Any J>0 pair shares a shingle, so recall at J ≥ 0.8 is exactly 1.
-    At 100 TB, boilerplate mega-shingles (df ≫) get a df-cap /
-    stop-shingle pass first; here the operator stays cap-free so the
-    DuckDB oracle (which recomputes on raw shingle STRINGS — a
-    genuinely independent second computation) matches bit-for-bit."""
-    n_sh = F.greatest(F.size(F.col("w")) - 2, F.lit(1))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("w"), i, 3))),
-        )
-    )
-    d = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
-        .select("doc_id", shingles.alias("toks"))
-    )
+    Any J>0 pair shares a shingle, so recall at J ≥ 0 is exactly 1 in
+    the cap-free form.
+
+    `max_shingle_df` is the production stop-shingle guard, applied the
+    same way as the LSH mega-bucket cap: a shingle whose posting bucket
+    exceeds the cap is dropped BEFORE any pair is generated — one extra
+    filter clause on the existing groupBy, zero extra shuffles. At
+    100 TB one boilerplate shingle with df = 10⁶ would otherwise
+    concentrate 10¹² pair emissions in a single task row. Set sizes |A|,
+    |B| stay full-universe, so the reported J is a conservative
+    underestimate (≤ true J) for docs containing boilerplate: near-dup
+    pairs above a high threshold share many SELECTIVE shingles and
+    barely move (recall-preservation is pytest-locked on a planted
+    boilerplate corpus), while pairs related ONLY through boilerplate
+    are exactly the ones the guard exists to skip. On a corpus where no
+    shingle exceeds the cap the output is bit-identical to cap-free.
+    """
+    d = _widen(docs).select("doc_id", shingle_hashes_col(F.col("text")).alias("toks"))
     ex = d.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("h"))
     # One groupBy-shingle pass generating in-group ordered pairs beats the
     # self-equi-join shape 2×: the exploded tokenization is computed ONCE
     # (the join recomputes its whole subtree for each side) and the big
-    # exploded relation crosses the wire once instead of twice. Work is
-    # the same Σ_shingle df²; a df ≫ mega-shingle would concentrate its
-    # pair fan-out in one task row, which is exactly what the production
-    # stop-shingle / df-cap pass (docstring above) removes first.
+    # exploded relation crosses the wire once instead of twice.
     grouped = (
         ex.groupBy("h")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_shingle_df is not None:
+        grouped = grouped.filter(F.size("ds") <= max_shingle_df)
     pairs = (
         _bucket_pairs(
             grouped,
@@ -182,14 +232,23 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Harness entry: CAP-FREE exact Jaccard, so the DuckDB oracle
+    (which recomputes on raw shingle STRINGS — a genuinely independent
+    second computation) matches bit-for-bit. Production pipelines call
+    ngram_jaccard_pairs with max_shingle_df set."""
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
     )
 
 
 def exact_jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     """Verify candidate (doc_a, doc_b) pairs with exact token-set Jaccard."""
-    toks = docs.select(
+    toks = _widen(docs).select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
     )
     return (
@@ -251,7 +310,7 @@ def minhash_lsh_pairs(
     pairs. (Skipped buckets are near-identical boilerplate families —
     exact dedup catches their identical members far cheaper.)
     """
-    sig = docs.select("doc_id", minhash_udf(F.col("text")).alias("sig"))
+    sig = minhash_signatures(docs)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = sig.select(
         "doc_id",
@@ -292,7 +351,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     """SimHash Hamming-≤h candidate pairs via 16-bit chunk banding
     (pigeonhole: h ≤ 3 ⟹ ≥1 of 4 chunks equal ⟹ recall 1.0, locked by
     pytest). Mega-buckets (> max_bucket) skipped before the self-join."""
-    sig = docs.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
+    sig = simhash_signatures(docs)
     chunks = sig.select(
         "doc_id",
         "sh",

@@ -95,7 +95,31 @@ def q_bm25_topk(spark, sf_dir):
 # R3 filter set: one required term + one OR-group, mixed heavy/light
 # (lang=en matches ~45% of sf0.01 docs → salted list; sources are light)
 FILTERS = ["lang=en", ["source=src1", "source=src2", "source=src3"]]
-_FILTER_WHERE = "d.lang = 'en' AND d.source IN ('src1', 'src2', 'src3')"
+
+
+def _filters_to_where(filters, alias: str = "d") -> str:
+    """Derive the oracle WHERE from the engine's FILTERS list — single
+    source of truth, so filter-semantics drift between the Spark query
+    and the DuckDB oracle is structurally impossible. A string entry is
+    a required `key=value` filter term; a list entry is an OR-group
+    (rendered as `key IN (...)` when the alternatives share one key)."""
+    clauses = []
+    for f in filters:
+        if isinstance(f, str):
+            k, v = f.split("=", 1)
+            clauses.append(f"{alias}.{k} = '{v}'")
+        else:
+            kvs = [alt.split("=", 1) for alt in f]
+            if len({k for k, _ in kvs}) == 1:
+                vals = ", ".join(f"'{v}'" for _, v in kvs)
+                clauses.append(f"{alias}.{kvs[0][0]} IN ({vals})")
+            else:
+                ors = " OR ".join(f"{alias}.{k} = '{v}'" for k, v in kvs)
+                clauses.append(f"({ors})")
+    return " AND ".join(clauses)
+
+
+_FILTER_WHERE = _filters_to_where(FILTERS)
 
 
 def q_bm25_topk_filtered(spark, sf_dir):
