@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", required=True, help="gens root directory")
     p.add_argument("--min-generations", type=int, default=2)
+    p.add_argument(
+        "--tier-fraction", type=float, default=None,
+        help="size-tiered selection: only merge generations with "
+        "n_docs < fraction * largest (the base generation is never "
+        "rewritten); default merges everything",
+    )
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--segments", type=int, default=8)
     p.add_argument("--salt-threshold", type=int, default=50_000)
@@ -53,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
         spark,
         args.root,
         min_generations=args.min_generations,
+        tier_fraction=args.tier_fraction,
         n_buckets=args.buckets,
         n_segments=args.segments,
         salt_threshold=args.salt_threshold,

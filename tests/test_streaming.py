@@ -309,6 +309,62 @@ def test_multi_generation_salted_routing(spark, tmp_path):
         )
 
 
+def test_tiered_compaction_leaves_base_generation(spark, tmp_path):
+    """Size-tiered compaction (tier_fraction): with generations of
+    (600, 200, 200) docs only the two small ones are merged — the big
+    base generation is NEVER rewritten, so compaction cost tracks the
+    newly-streamed data, not the corpus. Serving stays bitwise
+    rank-identical across the swap, and a second tiered run is a no-op
+    (the merged generation no longer qualifies)."""
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import prepare_docs
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        commit_generation,
+        compact_generations,
+    )
+
+    out = str(tmp_path / "gens")
+    full = generate_documents(spark, 1000, partitions=4).toPandas()
+    for gen, (lo, hi) in enumerate([(0, 600), (600, 800), (800, 1000)]):
+        gen_dir = f"{out}/gen_{gen}"
+        docs = prepare_docs(
+            spark.createDataFrame(full.iloc[lo:hi]), gen_dir, id_base=lo
+        )
+        build_index(
+            docs, f"{gen_dir}/index", resume=False,
+            salt_threshold=400, n_segments=4, n_buckets=4,
+        )
+        commit_generation(out, gen, lo, hi - lo)
+
+    qs = query_set(1000)[["query_id", "query_text"]].head(10)
+    before = topk_all_generations(spark, out, qs, k=10).toPandas()
+
+    res = compact_generations(
+        spark, out, tier_fraction=0.5,
+        salt_threshold=400, n_segments=4, n_buckets=4,
+    )
+    assert res["compacted"] and sorted(res["replaced"]) == [1, 2]
+    live = sorted(g["gen"] for g in _generations(spark, out))
+    assert live == [-1, 0]  # base gen 0 untouched, smalls merged into -1
+    sizes = {g["gen"]: g["n_docs"] for g in _generations(spark, out)}
+    assert sizes == {0: 600, -1: 400}
+
+    after = topk_all_generations(spark, out, qs, k=10).toPandas()
+    for df_ in (before, after):
+        df_.sort_values(["query_id", "rank"], inplace=True)
+        df_.reset_index(drop=True, inplace=True)
+    pd.testing.assert_frame_equal(before, after)
+
+    # merged gen (400) is not < 0.5 × 600 → only the base qualifies as
+    # "largest"; fewer than 2 qualifying generations → no-op
+    res2 = compact_generations(
+        spark, out, tier_fraction=0.5,
+        salt_threshold=400, n_segments=4, n_buckets=4,
+    )
+    assert res2["compacted"] is False and res2["selected"] < 2
+
+
 def test_compact_generations_preserves_ranking(spark, stream_index):
     """Compaction merges all generations into one; the served top-k must
     be rank-identical (scores bitwise-equal) to multi-generation serving,

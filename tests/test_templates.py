@@ -3,7 +3,9 @@ argument capture, longest-name-first ordering, nested fixpoint
 expansion, recursion pruning, right-wins definition union."""
 
 from theoremsearch_spark.functions.templates import (
+    MAX_ITERS,
     expand_templates,
+    lift_wrappers,
     parse_defs,
 )
 
@@ -48,6 +50,36 @@ def test_right_wins_definition_union():  # SO2: dict right-wins
     out = expand_templates("{{x}}", extra_defs={"x": (0, "new")})
     assert out == "new"
     assert defs == {"x": (0, "old")}
+
+
+def test_wrapper_lifting_inherits_target_body():  # T7: latex_parse.py:128-157
+    defs = {
+        "thm": (1, "Theorem: #1"),
+        "wrap": (1, "{{thm|#1}}"),       # pure passthrough → lifted
+        "mixed": (1, "pre {{thm|#1}}"),  # extra text → NOT a wrapper
+        "fixed": (0, "{{thm|hello}}"),   # fixed arg, arity differs → not lifted
+    }
+    lifted = lift_wrappers(defs)
+    assert lifted["wrap"] == (1, "Theorem: #1")
+    assert lifted["mixed"] == defs["mixed"]
+    assert lifted["fixed"] == defs["fixed"]
+
+
+def test_wrapper_chain_resolves_past_iteration_cap():
+    """A chain of wrappers deeper than the fixpoint cap still expands,
+    because lifting collapses the chain before substitution."""
+    n = MAX_ITERS + 3
+    defs = "".join(
+        f"{{{{def:w{i}(1)|{{{{w{i + 1}|#1}}}}}}}}" for i in range(n)
+    ) + f"{{{{def:w{n}(1)|leaf(#1)}}}}"
+    out = expand_templates(defs + " {{w0|z}}")
+    assert out.strip() == "leaf(z)"
+
+
+def test_wrapper_cycle_guard():
+    defs = {"a": (0, "{{b}}"), "b": (0, "{{a}}")}
+    lifted = lift_wrappers(defs)  # must terminate; bodies land on a cycle edge
+    assert set(lifted) == {"a", "b"}
 
 
 def test_udf_parity(spark):

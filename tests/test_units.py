@@ -66,6 +66,71 @@ def test_fixpoint_iteration_cap_terminates():
     assert out == "x" * 32
 
 
+SHARED_DOC = b"""<html><body>
+<h1>Results</h1><p>intro</p>
+<h2 data-kind="theorem" data-counter="thmc">First main result</h2><p>t1</p>
+<h2 data-kind="lemma" data-counter="thmc">Helper</h2><p>l1</p>
+<h2 data-kind="theorem" data-counter="thmc">Second main result</h2><p>t2</p>
+<h2>Plain subsection</h2><p>s1</p>
+<h1>Next</h1>
+<h2 data-kind="lemma" data-counter="thmc">Fresh helper</h2><p>l2</p>
+</body></html>"""
+
+
+def test_shared_counter_aliasing():
+    """T6: kinds declaring the same data-counter draw from ONE sequence
+    (\\newaliascnt/[shared], latex_parse.py:48-78) — Theorem 1.1,
+    Lemma 1.2, Theorem 1.3 interleave; a shallower heading resets the
+    shared counter (within-reset); the plain level counter is
+    independent of the named one."""
+    names = [u["name"] for u in extract_units(SHARED_DOC)]
+    assert names == [
+        "Results 1.",
+        "Theorem 1.1.",
+        "Lemma 1.2.",       # shares thmc with theorem → 1.2, not 1.1
+        "Theorem 1.3.",
+        "Plain subsection 1.1.",  # level-2 counter untouched by thmc
+        "Next 2.",
+        "Lemma 2.1.",       # h1 increment reset the shared counter
+    ]
+
+
+def test_kind_keyval_overrides_title_with_shorthand():
+    """T8: data-kind is the declared caption (DECLARETHEOREM name=,
+    re_patterns.py:24-39), normalized through the shorthand fixpoint."""
+    doc = b'<h1>S</h1><p>a</p><h2 data-kind="lem">Anything At All</h2><p>b</p>'
+    units = extract_units(doc)
+    assert units[1]["name"] == "Lemma 1.1."
+    # skipped levels keep a 0 placeholder ("0.1." for an h2 with no h1)
+    # — documented HTML-tolerant behavior, not an error
+    orphan = extract_units(b'<h2 data-kind="lem">X</h2><p>b</p>')
+    assert orphan[0]["name"] == "Lemma 0.1."
+
+
+def test_appendix_alpha_numbering():
+    """Appendix mode: level-1 numbers render A, B, C… from the
+    data-appendix heading on (theorem_forms.py:96-135)."""
+    doc = (
+        b"<h1>Intro</h1><p>a</p><h2>Sub</h2><p>b</p>"
+        b"<h1 data-appendix>Proofs</h1><p>c</p><h2>Detail</h2><p>d</p>"
+        b"<h1>More proofs</h1><p>e</p>"
+    )
+    names = [u["name"] for u in extract_units(doc)]
+    assert names == [
+        "Intro 1.",
+        "Sub 1.1.",
+        "Proofs A.",
+        "Detail A.1.",
+        "More proofs B.",
+    ]
+
+
+def test_swap_numbers_renders_number_first():
+    """amsthm \\swapnumbers (theorem_forms.py:17,74-77)."""
+    names = [u["name"] for u in extract_units(DOC, swap_numbers=True)]
+    assert names[1] == "1. Alpha" and names[2] == "1.1. Alpha One"
+
+
 def test_udtf_parity_with_pure_function(spark):
     """The Spark UDTF path returns byte-identical units to the pure
     extractor — same contract as extract_text."""

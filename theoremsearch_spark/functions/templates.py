@@ -60,6 +60,44 @@ def _call_re(name: str) -> re.Pattern:
     return re.compile(r"\{\{" + re.escape(name) + r"((?:\|[^{}|]*)*)\}\}")
 
 
+# a body that is EXACTLY one call with in-order placeholder passthrough:
+# {{TARGET}} or {{TARGET|#1|#2|...}}
+_WRAPPER_BODY_RE = re.compile(
+    r"^\s*\{\{([A-Za-z][A-Za-z0-9_]*)((?:\|#\d+)*)\}\}\s*$"
+)
+
+
+def lift_wrappers(defs: dict[str, tuple[int, str]]) -> dict[str, tuple[int, str]]:
+    """Wrapper lifting (T7): a definition whose body is exactly a call
+    to another definition, passing its own placeholders through in
+    order, inherits the target's body — the analog of the reference
+    synthesizing `\\newtheorem{e}` when `\\newenvironment{e}`'s begin
+    code wraps a theorem env
+    (/root/reference/ec2/parse_papers/latex_parse.py:128-157).
+
+    Chains of wrappers resolve transitively with a depth cap (cycle
+    guard), so a wrapper-of-a-wrapper expands in ONE fixpoint pass even
+    past MAX_ITERS of nesting. Non-wrapper definitions pass through
+    untouched."""
+    out = dict(defs)
+    for name in defs:
+        seen = {name}
+        n_args, body = out[name]
+        for _ in range(len(defs)):
+            m = _WRAPPER_BODY_RE.match(body)
+            if not m or m.group(1) not in out or m.group(1) in seen:
+                break
+            target, raw = m.group(1), m.group(2)
+            got = raw.split("|")[1:] if raw else []
+            t_args, t_body = out[target]
+            if got != [f"#{i}" for i in range(1, n_args + 1)] or len(got) != t_args:
+                break  # partial / reordered passthrough: not a pure wrapper
+            seen.add(target)
+            body = t_body
+        out[name] = (n_args, body)
+    return out
+
+
 def expand_templates(
     text: str, extra_defs: dict[str, tuple[int, str]] | None = None,
     max_iters: int = MAX_ITERS,
@@ -75,6 +113,7 @@ def expand_templates(
         defs = {**defs, **extra_defs}  # right-wins union (SO2 analog)
     if not defs:
         return text
+    defs = lift_wrappers(defs)  # T7: wrappers inherit their target's body
     order = sorted(defs, key=len, reverse=True)  # longest-first
     pats = {name: _call_re(name) for name in order}
 

@@ -77,15 +77,28 @@ def commit_generation(
 
 
 def compact_generations(
-    spark: SparkSession, out_dir: str, min_generations: int = 2, **build_kwargs
+    spark: SparkSession,
+    out_dir: str,
+    min_generations: int = 2,
+    tier_fraction: float | None = None,
+    **build_kwargs,
 ) -> dict:
-    """LSM-style merge: union every committed generation's docs table
+    """LSM-style merge: union committed generations' docs tables
     (doc_ids already share one offset id space, so they pass through
     unchanged) into one new generation, rebuild a single index over it,
     and commit with `replaces=[old gens]` — ONE atomic manifest rename
-    swaps readers from G generations to 1, with no double-serving
-    window. Old generation directories become garbage that can be
-    deleted at leisure.
+    swaps readers over, with no double-serving window. Old generation
+    directories become garbage that can be deleted at leisure.
+
+    `tier_fraction=None` (full compaction) merges EVERY generation.
+    `tier_fraction=f` is the size-tiered policy a long-running stream
+    needs: only generations with n_docs < f·max(n_docs) are merged, so
+    the big base generation is never rewritten — without it every
+    compaction run costs O(total corpus), i.e. compaction work grows
+    with corpus size instead of with the newly-streamed data. Needs ≥2
+    qualifying generations, else a no-op. Serving is unchanged either
+    way (generation-merged statistics are associative), which the
+    bitwise rank-identity pytest locks.
 
     Why it matters at scale: a streaming index accumulates a generation
     per micro-batch; serving cost grows with generation count (G× term
@@ -96,9 +109,20 @@ def compact_generations(
     """
     from theoremsearch_spark.build import build_index
 
-    gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
-    if len(gens) < min_generations:
-        return {"compacted": False, "generations": len(gens)}
+    all_gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
+    if len(all_gens) < min_generations:
+        return {"compacted": False, "generations": len(all_gens)}
+    if tier_fraction is not None:
+        largest = max(g["n_docs"] for g in all_gens)
+        gens = [g for g in all_gens if g["n_docs"] < tier_fraction * largest]
+        if len(gens) < max(2, min_generations):
+            return {
+                "compacted": False,
+                "generations": len(all_gens),
+                "selected": len(gens),
+            }
+    else:
+        gens = all_gens
     docs = None
     for g in gens:
         gd = f"{out_dir}/gen_{g['gen']}"

@@ -51,6 +51,19 @@ UNIT_SHIFT = 8  # ≤ 256 units per document (raise on overflow — no silent dr
 
 _HEADING_RE = re.compile(r"<h([1-6])\b([^>]*)>(.*?)</h\1\s*>", re.DOTALL | re.IGNORECASE)
 _ANCHOR_RE = re.compile(r"""\bid\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+# keyval attributes on headings — the T8 analog of the reference's
+# DECLARETHEOREM `name=` keyval parsing
+# (/root/reference/ec2/parse_arxiv_papers/re_patterns.py:24-39):
+#   data-kind="lemma"    declared kind overrides the heading text as
+#                        the unit's caption (NEWTHEOREM {title});
+#   data-counter="c"     draw the number from named shared counter `c`
+#                        (T6 — \newaliascnt/[shared] semantics);
+#   data-appendix        switch level-1 numbering to A, B, C… (the
+#                        appendix-alpha mode, theorem_forms.py:96-118).
+_KEYVAL_RE = re.compile(
+    r"""\b(data-kind|data-counter)\s*=\s*["']([^"']*)["']""", re.IGNORECASE
+)
+_APPENDIX_RE = re.compile(r"\bdata-appendix\b", re.IGNORECASE)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.DOTALL | re.IGNORECASE)
 _TAG_RE = re.compile(r"<[^>]*>")
@@ -96,26 +109,84 @@ def _strip(html: str) -> str:
 
 
 class _Numberer:
-    """Stateful per-document hierarchical numbering (T10 analog):
-    counters per heading level; entering level L increments counter L
-    and resets every deeper counter (the reference's `within` parents
-    with descendant reset, theorem_forms.py:13-136)."""
+    """Stateful per-document numbering (T10 analog) with the
+    reference's full counter semantics:
+
+      - per-level hierarchical counters with descendant reset — the
+        `within` parents of theorem_forms.py:13-136;
+      - NAMED shared counters (T6): headings declaring data-counter="c"
+        draw from ONE shared sequence regardless of their kind — the
+        \\newaliascnt / [shared] rewrite
+        (/root/reference/ec2/parse_papers/latex_parse.py:48-78,
+        theorem_forms.py:34-42). A named counter is pinned to the level
+        of its first use (its number renders under that level's parent
+        chain) and resets whenever any SHALLOWER level increments
+        (within-reset);
+      - appendix alpha: after data-appendix on a heading, level-1
+        numbers render A, B, C… (theorem_forms.py:96-135 `_to_alpha`;
+        level-1 counter restarts like LaTeX's \\appendix).
+
+    Skipped levels render a 0 placeholder (an h3 directly under an h1
+    numbers "1.0.1") — deliberate tolerance for real-web heading
+    misuse: the position in the hierarchy stays faithful and the
+    numbering stays monotone, where renumbering as h2 would collide
+    with genuine h2 siblings."""
 
     def __init__(self) -> None:
         self.counters = [0] * 6
+        self.named: dict[str, int] = {}
+        self.named_level: dict[str, int] = {}
+        self.alpha1 = False
 
-    def next(self, level: int) -> str:
-        self.counters[level - 1] += 1
-        for i in range(level, 6):
-            self.counters[i] = 0
-        return ".".join(str(c) for c in self.counters[:level])
+    def enter_appendix(self) -> None:
+        if not self.alpha1:
+            self.alpha1 = True
+            self.counters[0] = 0
+
+    @staticmethod
+    def _alpha(n: int) -> str:
+        out = []
+        while n > 0:
+            n, rem = divmod(n - 1, 26)
+            out.append(chr(ord("A") + rem))
+        return "".join(reversed(out)) or "A"
+
+    def _fmt1(self, n: int) -> str:
+        return self._alpha(n) if self.alpha1 else str(n)
+
+    def next(self, level: int, counter: str | None = None) -> str:
+        if counter is None:
+            self.counters[level - 1] += 1
+            for i in range(level, 6):
+                self.counters[i] = 0
+            for name, lv in self.named_level.items():
+                if lv > level:
+                    self.named[name] = 0
+            own = self._fmt1(self.counters[0]) if level == 1 else str(
+                self.counters[level - 1]
+            )
+        else:
+            level = self.named_level.setdefault(counter, level)
+            self.named[counter] = self.named.get(counter, 0) + 1
+            own = str(self.named[counter])
+        parts = [self._fmt1(self.counters[0])] if level > 1 else []
+        parts += [str(self.counters[i]) for i in range(1, level - 1)]
+        parts.append(own)
+        return ".".join(parts)
 
 
-def extract_units(html: bytes | None) -> list[dict]:
+def extract_units(html: bytes | None, swap_numbers: bool = False) -> list[dict]:
     """HTML bytes → list of units (seq, name, body, label, level).
 
     Deterministic, pure; the single source of truth the pandas-UDF path
-    wraps byte-identically (same contract as extract.extract_text)."""
+    wraps byte-identically (same contract as extract.extract_text).
+
+    Heading keyvals (T8): data-kind overrides the heading text as the
+    unit's caption (normalized through the same shorthand fixpoint, so
+    data-kind="lem" titles as "Lemma"); data-counter selects a named
+    shared counter (T6); data-appendix flips level-1 numbers to alpha.
+    `swap_numbers=True` renders "3.2 Title." instead of "Title 3.2." —
+    the amsthm \\swapnumbers option (theorem_forms.py:17,74-77)."""
     if html is None:
         return []
     s = decode_bytes(html).replace("\x00", "")
@@ -145,9 +216,20 @@ def extract_units(html: bytes | None) -> list[dict]:
         seq += 1
     for i, m in enumerate(matches):
         level = int(m.group(1))
-        number = numberer.next(level)
-        title = fixpoint_sub(_strip(m.group(3)))
-        name = f"{title} {number}."  # the reference's "Title 3.2." shape
+        attrs = m.group(2)
+        keyvals = {k.lower(): v for k, v in _KEYVAL_RE.findall(attrs)}
+        if _APPENDIX_RE.search(attrs):
+            numberer.enter_appendix()
+        number = numberer.next(level, counter=keyvals.get("data-counter") or None)
+        kind = keyvals.get("data-kind")
+        if kind:  # declared kind is the caption (NEWTHEOREM {title})
+            title = fixpoint_sub(kind).strip().capitalize()
+        else:
+            title = fixpoint_sub(_strip(m.group(3)))
+        # the reference's "Title 3.2." shape; swapped renders "3.2. Title"
+        # (the formatted number carries the trailing period either way,
+        # theorem_forms.py:96-118)
+        name = f"{number}. {title}" if swap_numbers else f"{title} {number}."
         sec_end = matches[i + 1].start() if i + 1 < len(matches) else len(s)
         raw_section = m.group(2) + s[m.end(): sec_end]  # heading attrs carry anchors
         units.append(mk_unit(seq, name, raw_section, level))
