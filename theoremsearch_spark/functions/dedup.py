@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from theoremsearch_spark.functions.widen import widen_small_input as _widen
 from theoremsearch_spark.operators.relational import t
 
 MINHASH_K = 64
@@ -67,17 +68,6 @@ def token_hashes_col(text_col: Column) -> Column:
     """xxhash64 per whitespace token, duplicates kept (tf weighting for
     SimHash's bit majority)."""
     return F.transform(F.split(text_col, " "), lambda tok: F.xxhash64(tok))
-
-
-def _widen(docs: DataFrame) -> DataFrame:
-    """Small inputs (one parquet file = one scan partition) would run
-    the expensive shingle/signature projections single-threaded; widen
-    to the session's parallelism first. No-op at scale: a real corpus
-    already has ≥ parallelism partitions and skips the shuffle."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        return docs.repartition(sc.defaultParallelism)
-    return docs
 
 
 def _flatten_hash_arrays(hs: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -246,6 +236,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+CAPPED_DF = 5  # deliberately low so the sf0.01 harness corpus exercises the drop
+
+
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """The PRODUCTION form of exact Jaccard — stop-shingle guard active
+    (max_shingle_df) — as its own driver-gate row: the cap is
+    deterministic, so DuckDB reproduces it exactly (df-filtered shingle
+    join, full-universe set sizes). A hash match proves the guard drops
+    precisely the promiscuous shingles and nothing else."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), max_shingle_df=CAPPED_DF
+    ).orderBy("doc_a", "doc_b")
+
+
 def exact_jaccard_pairs(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     """Verify candidate (doc_a, doc_b) pairs with exact token-set Jaccard."""
     toks = _widen(docs).select(
@@ -395,6 +399,7 @@ def q_dedup_simhash(spark, sf_dir):
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash,  # probabilistic — rows-only check
     "dedup_simhash": q_dedup_simhash,  # probabilistic — rows-only check
 }
@@ -415,6 +420,26 @@ ORACLES = {
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.n AS na, b.n AS nb, count(*) AS inter
               FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+        FROM p WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_jaccard_capped": f"""
+        WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents),
+        d AS (SELECT doc_id, list_distinct(list_transform(
+                         range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS toks
+              FROM raw),
+        e AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS h FROM d),
+        keep AS (SELECT h FROM e GROUP BY h
+                 HAVING count(*) BETWEEN 2 AND {CAPPED_DF}),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS inter
+              FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+              JOIN keep k ON k.h = a.h
               GROUP BY 1, 2, 3, 4)
         SELECT doc_a, doc_b,
                round(inter * 1.0 / (na + nb - inter), 4) AS jaccard

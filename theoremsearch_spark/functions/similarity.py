@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from theoremsearch_spark.functions.widen import widen_small_input as _widen
 from theoremsearch_spark.operators.relational import t
 
 N_QUERY_VECS = 5
@@ -55,7 +56,7 @@ def _cosine(a: str, b: str):
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     """Exact cosine top-k of `queries` (query_id, qvec) against `emb`
     (vec_id, embedding). Queries broadcast; ties → vec_id ASC."""
-    joined = emb.crossJoin(F.broadcast(queries))
+    joined = _widen(emb).crossJoin(F.broadcast(queries))
     scored = joined.select(
         "query_id",
         "vec_id",
@@ -110,7 +111,7 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, dim: int, k: int = 10) -> D
     most once — no dedup needed. At 10^12 rows the bucket column is a
     partition key — each probe touches one partition."""
     planes = np.random.default_rng(PLANES_SEED).standard_normal((LSH_BITS, dim))
-    bucketed = emb.withColumn("bucket", lsh_bucket("embedding", planes))
+    bucketed = _widen(emb).withColumn("bucket", lsh_bucket("embedding", planes))
     probes = F.explode(
         F.array(
             F.col("qbucket"),
@@ -195,7 +196,7 @@ def ann_ivf_topk(
     # the vector's own norm is constant across the C cell scores, so the
     # argmax over dot(v, unit-centroid) IS the cosine argmax — no
     # normalization needed corpus-side
-    cells = emb.withColumn("cell", F.array_max(scored)["i"])
+    cells = _widen(emb).withColumn("cell", F.array_max(scored)["i"])
 
     # query probes: numpy, driver-side
     Q = np.array(list(queries_pdf["qvec"]), dtype=np.float64)

@@ -91,13 +91,25 @@ def main() -> int:
         his.append(run_worker(args.n4, args.docs, docs_path, args.query_mult, pin=not args.no_pin))
         los.append(run_worker(args.n, args.docs, docs_path, args.query_mult, pin=not args.no_pin))
 
+    PHASES = ("build_sec", "prep_sec", "index_sec", "query_sec")
+
     def best(runs):
-        # per-PHASE minimum across reps: each phase's best run is its
-        # true cost estimate; a single noisy phase must not drag the
-        # other phase's measurement with it
+        # WHOLE-RUN minimum: the headline numbers all come from one rep,
+        # so build_sec always equals prep_sec + index_sec and the
+        # published efficiency pairs are real measured runs. The
+        # per-phase floor across reps (with its source rep) and every
+        # raw wall are recorded alongside for auditability — grafting
+        # the floors onto one dict (the old behavior) made the JSON
+        # internally inconsistent as evidence.
         out = dict(min(runs, key=lambda r: r["build_sec"] + r["query_sec"]))
-        for k in ("build_sec", "prep_sec", "index_sec", "query_sec"):
-            out[k] = min(r[k] for r in runs)
+        out["raw_reps"] = [{k: r[k] for k in PHASES} for r in runs]
+        out["phase_floor"] = {
+            k: {
+                "sec": min(r[k] for r in runs),
+                "rep": min(range(len(runs)), key=lambda i, k=k: runs[i][k]),
+            }
+            for k in PHASES
+        }
         return out
 
     lo, hi = best(los), best(his)
