@@ -145,6 +145,37 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 N_CENTROIDS = 16
 N_PROBE = 4
+KMEANS_ITERS = 8
+KMEANS_SAMPLE = 4096
+
+
+def _kmeans_spherical(X: np.ndarray, k: int, iters: int = KMEANS_ITERS) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd on unit vectors, cosine =
+    dot): init = stride sample of the input (reproducible, no RNG),
+    assignment = argmax dot, update = renormalized mean; an emptied
+    cluster keeps its previous centroid. Returns unit centroids (k, d).
+
+    Driver-side numpy on a bounded SAMPLE — the standard IVF recipe:
+    at 10^12 rows you train the coarse quantizer on ~10⁵ sampled
+    vectors (constant-size work) and broadcast the centroids; the
+    corpus-wide cell assignment stays a codegen'd argmax scan."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    stride = max(1, len(Xn) // k)
+    C = Xn[::stride][:k].copy()
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        newC = C.copy()
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    newC[j] = m / n
+        if np.allclose(newC, C, atol=1e-9):
+            break
+        C = newC
+    return C
 
 
 def _dot(col, vec: "np.ndarray"):
@@ -164,27 +195,28 @@ def ann_ivf_topk(
     n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus vectors are assigned to their
-    nearest centroid once (the coarse quantizer — centroids here are a
-    deterministic stride-sample of the corpus, the k-means-free variant);
-    each query probes its `n_probe` nearest centroids and scores only
-    those cells — candidate fraction ≈ n_probe/n_centroids of the
-    corpus. The cell column is a partition key at scale: one probe = one
-    partition scan, same physics as the posting-list index.
+    nearest centroid once (the coarse quantizer — spherical k-means
+    trained driver-side on a bounded deterministic sample); each query
+    probes its `n_probe` nearest centroids and scores only those cells —
+    candidate fraction ≈ n_probe/n_centroids of the corpus. The cell
+    column is a partition key at scale: one probe = one partition scan,
+    same physics as the posting-list index.
 
     queries_pdf: pandas (query_id, qvec as list) — the query side is
     tiny and its probe lists are computed driver-side in numpy.
     """
     spark = emb.sparkSession
     n = emb.count()
-    stride = max(1, n // n_centroids)
-    cents = (
-        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") / stride < n_centroids))
+    stride = max(1, n // min(n, KMEANS_SAMPLE))
+    sample = (
+        emb.filter(F.col("vec_id") % stride == 0)
         .orderBy("vec_id")
+        .limit(KMEANS_SAMPLE)
         .select("embedding")
         .collect()
     )
-    C = np.array([r["embedding"] for r in cents], dtype=np.float64)
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    C = _kmeans_spherical(X, min(n_centroids, len(X)))
 
     # corpus assignment: argmax over centroids of cosine — JVM-side
     scored = F.array(
