@@ -309,6 +309,133 @@ def test_multi_generation_salted_routing(spark, tmp_path):
         )
 
 
+@pytest.fixture(scope="module")
+def upsert_index(spark, tmp_path_factory):
+    """Two REAL incremental_index runs against one checkpoint: batch 0
+    ingests 1000 docs; batch 1 RE-INGESTS 100 of the urls with changed
+    html (appended marker content) — the reference's replace-document
+    upsert (S12) at index level. Batch 1 must tombstone the 100 stale
+    doc versions."""
+    from theoremsearch_spark.streaming.incremental import incremental_index
+
+    root = tmp_path_factory.mktemp("upsert")
+    inp, out, chk = str(root / "in"), str(root / "out"), str(root / "chk")
+    full = generate_documents(spark, 1000, partitions=4).toPandas()
+
+    spark.createDataFrame(full).repartition(2).write.parquet(f"{inp}/b0")
+    incremental_index(
+        spark, f"{inp}/*", out, chk,
+        salt_threshold=400, n_segments=4, n_buckets=8,
+    ).start().awaitTermination(300)
+
+    mod = full.iloc[100:200].copy()
+    mod["html"] = mod["html"].map(
+        lambda h: bytes(h) + b"<p>zzupserted fresh content</p>"
+    )
+    spark.createDataFrame(mod).repartition(2).write.parquet(f"{inp}/b1")
+    incremental_index(
+        spark, f"{inp}/*", out, chk,
+        salt_threshold=400, n_segments=4, n_buckets=8,
+    ).start().awaitTermination(300)
+    return {"out": out, "full": full}
+
+
+def _latest_version_oracle(spark, out):
+    """(oracle over latest-version corpus, dense→real id map)."""
+    from theoremsearch_spark.streaming.incremental import (
+        _docs_path,
+        _generations,
+    )
+
+    gens = sorted(_generations(spark, out), key=lambda g: g["gen"])
+    parts = [
+        spark.read.parquet(_docs_path(out, g["gen"]))
+        .select("doc_id", "url", "extracted_text")
+        .toPandas()
+        for g in gens
+    ]
+    latest = (
+        pd.concat(parts)
+        .sort_values("doc_id")
+        .drop_duplicates("url", keep="last")  # max doc_id per url wins
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .rename(columns={"extracted_text": "text"})
+    )
+    real_ids = latest["doc_id"].to_numpy()
+    dense = latest.assign(doc_id=np.arange(len(latest)))
+    return BM25Oracle(dense[["doc_id", "url", "text"]]), real_ids
+
+
+def _assert_serves_latest(spark, out, n_urls):
+    qs = query_set(1000)[["query_id", "query_text"]].head(15)
+    qs = pd.concat(
+        [qs, pd.DataFrame({"query_id": [900], "query_text": ["zzupserted fresh content"]})],
+        ignore_index=True,
+    )
+    oracle, real_ids = _latest_version_oracle(spark, out)
+    assert oracle.n_docs == n_urls  # one live version per url
+    hits = topk_all_generations(spark, out, qs, k=10).toPandas()
+    for qid, row in qs.set_index("query_id").iterrows():
+        want = oracle.topk(row["query_text"], k=10)
+        got = hits[hits["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == [int(real_ids[d]) for d in want["doc_id"]], qid
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
+        )
+    return hits
+
+
+def test_upsert_tombstones_serve_latest_versions(spark, upsert_index):
+    """Serving across generations with tombstones must be score- and
+    rank-identical to a from-scratch build over the LATEST version of
+    every url: stale versions excluded, N/avgdl/df corrected exactly.
+    The marker query can only match re-ingested content."""
+    import os
+
+    out = upsert_index["out"]
+    assert os.path.isdir(f"{out}/gen_1/tombstones")
+    dead = spark.read.parquet(f"{out}/gen_1/tombstones")
+    assert dead.count() == 100
+    assert set(dead.columns) >= {"doc_id", "doc_len", "terms"}
+    hits = _assert_serves_latest(spark, out, n_urls=1000)
+    # stale versions never serve
+    dead_ids = {r["doc_id"] for r in dead.select("doc_id").collect()}
+    assert not (set(hits["doc_id"]) & dead_ids)
+    # the marker query hits only re-ingested docs (ids ≥ 1000)
+    marker_hits = hits[hits["query_id"] == 900]
+    assert len(marker_hits) > 0 and (marker_hits["doc_id"] >= 1000).all()
+
+
+def test_full_compaction_drops_tombstoned_bodies(spark, upsert_index):
+    """FULL compaction physically removes tombstoned docs and clears
+    tombstones: the compacted generation holds exactly one version per
+    url and serving stays identical to the latest-version oracle."""
+    import shutil
+
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        compact_generations,
+    )
+
+    out = upsert_index["out"]
+    work = str(spark.conf.get("spark.local.dir", "/tmp"))
+    copy = f"{work}/upsert_compact_copy"
+    shutil.rmtree(copy, ignore_errors=True)
+    shutil.copytree(out, copy)
+
+    res = compact_generations(
+        spark, copy, salt_threshold=400, n_segments=4, n_buckets=8
+    )
+    assert res["compacted"] and res["n_docs"] == 1000  # 1100 bodies − 100 dead
+    gens = _generations(spark, copy)
+    assert [g["gen"] for g in gens] == [res["generation"]]
+    carried = spark.read.parquet(f"{copy}/gen_{res['generation']}/tombstones")
+    assert carried.count() == 0  # full compact clears every tombstone
+    _assert_serves_latest(spark, copy, n_urls=1000)
+    shutil.rmtree(copy, ignore_errors=True)
+
+
 def test_tiered_compaction_leaves_base_generation(spark, tmp_path):
     """Size-tiered compaction (tier_fraction): with generations of
     (600, 200, 200) docs only the two small ones are merged — the big

@@ -134,15 +134,16 @@ def q_bm25_topk_filtered(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-def _bm25_scored_cte() -> str:
-    """Shared CTE chain: textbook BM25 over `documents`, one score row
-    per (query, doc) with global corpus statistics."""
+def _bm25_scored_cte(corpus: str = "documents", queries=HARNESS_QUERIES) -> str:
+    """Shared CTE chain: textbook BM25 over `corpus` (a table name or a
+    prior CTE with doc_id, text), one score row per (query, doc) with
+    global corpus statistics."""
     qvals = ", ".join(
-        f"({qid}, '{term}')" for qid, text in HARNESS_QUERIES for term in sorted(set(text.split()))
+        f"({qid}, '{term}')" for qid, text in queries for term in sorted(set(text.split()))
     )
     return f"""
         tok AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {corpus}),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
         stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
@@ -278,6 +279,103 @@ def q_bm25_compacted(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+UPSERT_OFFSET = 100_000
+UPSERT_MOD = 7
+UPSERT_RESIDUE = 3
+UPSERT_QUERIES = HARNESS_QUERIES + [(5, "zzrefreshed fast key")]
+
+
+def _ensure_upsert_generations(spark, sf_dir: str) -> str:
+    """Upsert (replace-document) fixture: generation 0 indexes the full
+    documents table; generation 1 RE-INGESTS every doc with
+    doc_id % 7 == 3 under a new doc_id (+100000) with ' zzrefreshed'
+    appended, and tombstones the stale versions (doc_id, doc_len,
+    distinct terms — what serving needs to correct N/avgdl/df exactly).
+    The reference analog is the per-batch DELETE WHERE paper_id IN (…)
+    + insert (/root/reference/ec2/parse_arxiv_papers/__main__.py:269-283)."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"ts_harness_upsert_{_content_key(sf_dir)}"
+    )
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        from theoremsearch_spark.streaming.incremental import commit_generation
+
+        d = t(spark, sf_dir, "documents")
+        reingest = F.col("doc_id") % UPSERT_MOD == UPSERT_RESIDUE
+        n0 = d.count()
+        gen0 = d.select(
+            "doc_id",
+            F.col("text").alias("extracted_text"),
+            F.size(F.split(F.col("text"), " ")).alias("doc_len"),
+        )
+        gen0.write.mode("overwrite").parquet(f"{out}/gen_0/docs")
+        build_index(
+            spark.read.parquet(f"{out}/gen_0/docs"), f"{out}/gen_0/index",
+            salt_threshold=200, n_segments=4, n_buckets=8, resume=False,
+        )
+        commit_generation(out, 0, 0, n0)
+
+        newdoc = d.filter(reingest).select(
+            (F.col("doc_id") + UPSERT_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzrefreshed")).alias("extracted_text"),
+        )
+        newdoc = newdoc.withColumn(
+            "doc_len", F.size(F.split(F.col("extracted_text"), " "))
+        )
+        newdoc.write.mode("overwrite").parquet(f"{out}/gen_1/docs_offset")
+        n1 = newdoc.count()
+        build_index(
+            spark.read.parquet(f"{out}/gen_1/docs_offset"), f"{out}/gen_1/index",
+            salt_threshold=200, n_segments=4, n_buckets=8, resume=False,
+        )
+        d.filter(reingest).select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("doc_len"),
+            F.array_distinct(F.split(F.col("text"), " ")).alias("terms"),
+        ).write.mode("overwrite").parquet(f"{out}/gen_1/tombstones")
+        commit_generation(out, 1, n0, n1)
+        open(marker, "w").close()
+    return out
+
+
+def q_bm25_upsert_topk(spark, sf_dir):
+    """Serving after an upsert: stale document versions are tombstoned
+    out and global statistics corrected, so the result must hash-match
+    the textbook BM25 oracle computed over the LATEST version of every
+    document — the strongest form of the replace-document contract."""
+    from theoremsearch_spark.streaming.incremental import topk_all_generations
+
+    root = _ensure_upsert_generations(spark, sf_dir)
+    qs = pd.DataFrame(UPSERT_QUERIES, columns=["query_id", "query_text"])
+    hits = topk_all_generations(spark, root, qs, k=K)
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "rank")
+
+
+def _bm25_upsert_oracle_sql() -> str:
+    # latest-version corpus: re-ingested docs appear ONLY as their new
+    # (+offset, ' zzrefreshed') version; everything else unchanged
+    corpus = f"""
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % {UPSERT_MOD} <> {UPSERT_RESIDUE}
+            UNION ALL
+            SELECT doc_id + {UPSERT_OFFSET} AS doc_id,
+                   text || ' zzrefreshed' AS text
+            FROM documents WHERE doc_id % {UPSERT_MOD} = {UPSERT_RESIDUE})"""
+    return f"""
+        WITH {corpus},
+        {_bm25_scored_cte(corpus="corpus", queries=UPSERT_QUERIES)},
+        ranked AS (
+            SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, rank, doc_id, round(s, 4) AS score
+        FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+    """
+
+
 RESCORE_W = 0.1
 POOL = 50
 
@@ -391,6 +489,7 @@ QUERIES = {
     "bm25_topk_rescored": q_bm25_topk_rescored,
     "bm25_multi_generation": q_bm25_multi_generation,
     "bm25_compacted": q_bm25_compacted,
+    "bm25_upsert_topk": q_bm25_upsert_topk,
 }
 ORACLES = {
     "bm25_topk": _bm25_oracle_sql(),
@@ -401,4 +500,6 @@ ORACLES = {
     "bm25_multi_generation": _bm25_oracle_sql(),
     # ...and so must serving after LSM compaction of those generations
     "bm25_compacted": _bm25_oracle_sql(),
+    # upsert serving == textbook BM25 over the latest version per doc
+    "bm25_upsert_topk": _bm25_upsert_oracle_sql(),
 }

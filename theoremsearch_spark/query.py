@@ -207,9 +207,16 @@ def _score_group(
     b: float,
     k: int,
     allowed_global: np.ndarray | None = None,
+    excluded_global: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one (query, segment) group's posting blocks; returns this
     segment's exact top-k as (query_id, doc_id, score) rows.
+
+    `excluded_global` (sorted unique doc_ids) is the tombstone mask for
+    upsert/replace serving: postings of superseded document versions
+    are dropped right after decode, before they can enter filter sets,
+    partial scores, or candidates. Masking only ever REMOVES docs, so
+    every block-max / suffix upper bound stays sound.
 
     pdf columns: query_id, serve_seg, q_segs, n_fgroups, term, df,
     is_filter, fgroup, segment, block_id, first_doc, last_doc, n_docs,
@@ -244,6 +251,30 @@ def _score_group(
         allowed = np.asarray(allowed_global, dtype=np.int64)
         if q_segs > 1:
             allowed = allowed[(allowed % q_segs) == seg]
+
+    excluded = None
+    if excluded_global is not None and excluded_global.size:
+        excluded = np.asarray(excluded_global, dtype=np.int64)
+        if q_segs > 1:
+            excluded = excluded[(excluded % q_segs) == seg]
+        if excluded.size == 0:
+            excluded = None
+
+    def drop_dead(run: tuple) -> tuple:
+        """Mask tombstoned doc_ids out of one decoded (di, tf, dl) run."""
+        if excluded is None:
+            return run
+        di, tf, dl = run
+        if di.size == 0:
+            return run
+        pos = np.searchsorted(excluded, di)
+        hit = (pos < excluded.size) & (
+            excluded[np.minimum(pos, excluded.size - 1)] == di
+        )
+        if not hit.any():
+            return run
+        keep = ~hit
+        return di[keep], tf[keep], dl[keep]
     if n_fgroups:
         fg_present = np.unique(c.fgroup[c.is_filter])
         if fg_present.size < n_fgroups:
@@ -252,9 +283,9 @@ def _score_group(
         for fg in fg_present:
             g_ids: np.ndarray | None = None
             for _, tidx in term_slices(c.is_filter & (c.fgroup == fg)):
-                di, _, _ = _decode_run(
+                di, _, _ = drop_dead(_decode_run(
                     _ColSlice(c, tidx), q_segs=q_segs, seg=seg, restrict=None
-                )
+                ))
                 g_ids = di if g_ids is None else np.union1d(g_ids, di)
             if g_ids is None or g_ids.size == 0:
                 return _EMPTY_GROUP
@@ -297,9 +328,9 @@ def _score_group(
         if ids_acc.size >= k and suffix_ub[i] < threshold:
             stop_at = i
             break
-        di, tf, dl = _decode_run(
+        di, tf, dl = drop_dead(_decode_run(
             _ColSlice(c, score_terms[j][1]), q_segs=q_segs, seg=seg, restrict=allowed
-        )
+        ))
         decoded[t_str[j]] = (di, tf, dl)
         contrib = t_idf_arr[j] * tf_norm(tf, dl)
         if ids_acc.size == 0:
@@ -324,9 +355,9 @@ def _score_group(
 
     # decode remaining (long) lists only at blocks where candidates live
     for j in remaining:
-        decoded[t_str[j]] = _decode_run(
+        decoded[t_str[j]] = drop_dead(_decode_run(
             _ColSlice(c, score_terms[j][1]), q_segs=q_segs, seg=seg, restrict=cand_sorted
-        )
+        ))
 
     # phase 3: exact re-score of candidates in canonical (lexicographic)
     # term order — bitwise-reproducible vs the single-node oracle
@@ -455,12 +486,20 @@ def topk_frames(
     k: int = 10,
     filters=None,
     allowed_docs=None,
+    excluded_docs=None,
     salt_threshold: int | None = None,
     n_segments: int = 1,
 ) -> DataFrame:
     """Batch top-k over explicit frames: `blocks` = posting blocks
     (possibly a union of index generations), `tstats` = pandas term
     dictionary (term, term_id, df) already merged across generations.
+
+    `excluded_docs`: doc_ids of tombstoned (superseded) document
+    versions — dropped at decode time inside the scorer. Callers are
+    responsible for passing CORRECTED global stats (n_docs, avgdl, and
+    per-term df in `tstats`) that exclude these docs; that is what
+    makes upsert serving score-identical to a from-scratch build over
+    the latest versions (topk_all_generations does this).
 
     With `n_segments > 1` + `salt_threshold`, heavy-term queries are
     segment-sharded (see module docstring); the per-query group shuffle
@@ -480,6 +519,15 @@ def topk_frames(
             return spark.createDataFrame([], TOPK_SCHEMA)
         allowed_bc = spark.sparkContext.broadcast(arr)
 
+    excluded_bc = None
+    if excluded_docs is not None:
+        # sorted-unique: the scorer masks via searchsorted. Bounded by
+        # upsert churn since the last compaction; at extreme churn a
+        # Bloom/roaring broadcast takes this set's place (documented).
+        xarr = np.unique(np.asarray(list(excluded_docs), dtype=np.int64))
+        if xarr.size:
+            excluded_bc = spark.sparkContext.broadcast(xarr)
+
     # posting scan touches only the queried term_ids — an int64 IN-filter
     # pushed into the parquet row-group stats
     blocks = blocks.filter(F.col("term_id").isin(ids))
@@ -494,6 +542,7 @@ def topk_frames(
             b=b,
             k=k,
             allowed_global=None if allowed_bc is None else allowed_bc.value,
+            excluded_global=None if excluded_bc is None else excluded_bc.value,
         )
 
     part = fan.groupBy("query_id", "serve_seg").applyInPandas(score, schema=_GROUP_SCHEMA)

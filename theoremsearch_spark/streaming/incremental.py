@@ -60,6 +60,23 @@ def _raw_generations(out_dir: str) -> list[dict]:
     return raw
 
 
+def _docs_path(out_dir: str, gen: int) -> str:
+    import os
+
+    gd = f"{out_dir}/gen_{gen}"
+    return f"{gd}/docs_offset" if os.path.exists(f"{gd}/docs_offset") else f"{gd}/docs"
+
+
+def _tombstone_paths(out_dir: str, gen_ids) -> list[str]:
+    import os
+
+    return [
+        p
+        for g in gen_ids
+        if os.path.isdir(p := f"{out_dir}/gen_{g}/tombstones")
+    ]
+
+
 def commit_generation(
     out_dir: str, gen: int, base: int, n_docs: int, replaces: list[int] = ()
 ) -> None:
@@ -125,12 +142,27 @@ def compact_generations(
         gens = all_gens
     docs = None
     for g in gens:
-        gd = f"{out_dir}/gen_{g['gen']}"
-        import os
-
-        path = f"{gd}/docs_offset" if os.path.exists(f"{gd}/docs_offset") else f"{gd}/docs"
-        part = spark.read.parquet(path)
+        part = spark.read.parquet(_docs_path(out_dir, g["gen"]))
         docs = part if docs is None else docs.unionByName(part)
+    # Tombstone resolution — only the MERGED generations' tombstones are
+    # touched (no cross-generation file surgery, so the one-rename
+    # commit atomicity holds): dead ids pointing INTO the merge set are
+    # physically dropped from the merged docs; tombstones pointing at
+    # docs of UNMERGED generations are carried into the new generation's
+    # tombstone file. An unmerged generation's tombstones that point
+    # into the merge set stay valid too — the referenced doc_id simply
+    # lives inside the compacted generation now and keeps being
+    # excluded/corrected at serve time. A FULL compaction therefore
+    # drops every body and clears every tombstone.
+    carried = None
+    tomb_paths = _tombstone_paths(out_dir, [g["gen"] for g in gens])
+    if tomb_paths:
+        dead = spark.read.parquet(*tomb_paths).dropDuplicates(["doc_id"])
+        pre_drop = docs
+        docs = pre_drop.join(dead.select("doc_id"), "doc_id", "left_anti")
+        carried = dead.join(
+            pre_drop.select("doc_id"), "doc_id", "left_anti"
+        )
     # compacted generations live in a NEGATIVE id namespace: streaming
     # micro-batch ids are non-negative and grow without bound, so any
     # positive compaction id would eventually collide with a future
@@ -142,6 +174,8 @@ def compact_generations(
     docs = spark.read.parquet(f"{new_dir}/docs")
     n = docs.count()
     build_index(docs, f"{new_dir}/index", resume=False, **build_kwargs)
+    if carried is not None:
+        carried.write.mode("overwrite").parquet(f"{new_dir}/tombstones")
     commit_generation(
         out_dir, new_gen, base=0, n_docs=n, replaces=[g["gen"] for g in gens]
     )
@@ -183,6 +217,33 @@ def incremental_index(
             docs = spark.read.parquet(f"{gen_dir}/docs_offset")
         n = docs.count()
         build_index(docs, f"{gen_dir}/index", resume=False, **build_kwargs)
+        if gens:
+            # upsert semantics (the reference's S12 replace-document —
+            # DELETE WHERE paper_id IN batch + insert, /root/reference/
+            # ec2/parse_arxiv_papers/__main__.py:269-283): a re-ingested
+            # url TOMBSTONES its older doc versions. The tombstone row
+            # carries (doc_id, doc_len, distinct terms) so serving can
+            # correct N/avgdl/df exactly without re-reading old docs —
+            # LSM delete-tombstone physics; compaction drops the bodies.
+            # Production note: this scan of older generations' docs is
+            # pruned to 3 columns; a deployment with heavy churn keeps a
+            # url-hash-bucketed key index instead of scanning.
+            old = spark.read.parquet(
+                *[_docs_path(out_dir, g["gen"]) for g in gens]
+            )
+            batch_urls = docs.select("url").distinct()
+            dead = old.join(F.broadcast(batch_urls), "url").select(
+                "doc_id",
+                "url",
+                "doc_len",
+                F.array_distinct(
+                    F.transform(
+                        F.split("term_tfs", " "),
+                        lambda e: F.substring_index(e, ":", 1),
+                    )
+                ).alias("terms"),
+            )
+            dead.write.mode("overwrite").parquet(f"{gen_dir}/tombstones")
         commit_generation(out_dir, batch_id, base, n)
 
     stream = (
@@ -228,6 +289,40 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
     any_meta = next(iter(metas.values()))
     k1, b = float(any_meta["k1"]), float(any_meta["b"])
 
+    all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
+
+    # ---- tombstone corrections (upsert serving) ----
+    # A generation that re-ingested urls tombstoned the older doc
+    # versions. Serving must (a) exclude those doc_ids from scoring and
+    # (b) correct N, avgdl, and per-term df as if the dead docs were
+    # gone — making scores IDENTICAL to a from-scratch build over the
+    # latest versions (df correction comes from the tombstones' stored
+    # distinct-term lists, restricted to the query's terms — one tiny
+    # O(1)-in-generations job). Stats in the stored per-generation
+    # doc_stats stay stale until compaction, standard LSM behavior.
+    excluded_ids = None
+    dfc: dict[str, int] = {}
+    tomb_paths = _tombstone_paths(out_dir, gen_ids)
+    if tomb_paths:
+        import numpy as np
+
+        dead = spark.read.parquet(*tomb_paths).dropDuplicates(["doc_id"])
+        drows = dead.select("doc_id", "doc_len").collect()
+        if drows:
+            excluded_ids = np.array(sorted(r["doc_id"] for r in drows), dtype=np.int64)
+            dl_dead = sum(int(r["doc_len"]) for r in drows)
+            total_len = avgdl * n_docs - dl_dead
+            n_docs -= len(drows)
+            avgdl = total_len / max(n_docs, 1)
+            dfc = {
+                r["term"]: int(r["cnt"])
+                for r in dead.select(F.explode("terms").alias("term"))
+                .filter(F.col("term").isin(all_terms))
+                .groupBy("term")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+
     # segment-sharded serving across generations: saltedness is a
     # PER-GENERATION property (each generation salted at its own df
     # threshold), so the routing flag rides on the blocks, not on the
@@ -270,7 +365,6 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
         )
     )
 
-    all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
     tstats = (
         spark.read.parquet(*[f"{out_dir}/gen_{g}/index/term_stats" for g in gen_ids])
         .withColumn("gen", gen_col)
@@ -300,9 +394,14 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
         .agg(F.sum("df").alias("df"), F.max("any_salted").alias("any_salted"))
         .toPandas()
     )
+    if dfc:
+        # scoring df excludes dead docs; the any_salted ROUTING flag
+        # keeps using the generations' own build-time df (saltedness is
+        # a physical layout property, not a statistic)
+        merged["df"] = merged["df"] - merged["term"].map(dfc).fillna(0).astype(int)
     return topk_frames(
         spark, blocks, merged, queries, n_docs=int(n_docs), avgdl=float(avgdl),
-        k1=k1, b=b, k=k, n_segments=n_segments,
+        k1=k1, b=b, k=k, n_segments=n_segments, excluded_docs=excluded_ids,
     )
 
 
