@@ -436,6 +436,53 @@ def test_full_compaction_drops_tombstoned_bodies(spark, upsert_index):
     shutil.rmtree(copy, ignore_errors=True)
 
 
+def test_tiered_compaction_carries_foreign_tombstones(spark, upsert_index):
+    """The subtle LSM path: tiered compaction merges the SMALL
+    generations — including the re-ingest generation whose tombstones
+    point INTO the unmerged base. Those tombstones' targets still exist
+    (the base is untouched), so they must be CARRIED into the new
+    generation's tombstone file, and serving must stay identical to the
+    latest-version oracle."""
+    import shutil
+
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import prepare_docs
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        commit_generation,
+        compact_generations,
+    )
+
+    out = upsert_index["out"]
+    work = str(spark.conf.get("spark.local.dir", "/tmp"))
+    copy = f"{work}/upsert_tiered_copy"
+    shutil.rmtree(copy, ignore_errors=True)
+    shutil.copytree(out, copy)
+
+    # add a third small generation of 50 FRESH urls (no new tombstones)
+    extra = generate_documents(spark, 1050, partitions=4).toPandas().iloc[1000:]
+    gen_dir = f"{copy}/gen_2"
+    docs = prepare_docs(spark.createDataFrame(extra), gen_dir, id_base=1100)
+    build_index(docs, f"{gen_dir}/index", resume=False,
+                salt_threshold=400, n_segments=4, n_buckets=8)
+    commit_generation(copy, 2, 1100, 50)
+
+    # sizes: gen0=1000 (base), gen1=100 (re-ingest), gen2=50 → fraction
+    # 0.5 merges the two smalls only
+    res = compact_generations(
+        spark, copy, tier_fraction=0.5,
+        salt_threshold=400, n_segments=4, n_buckets=8,
+    )
+    assert res["compacted"] and sorted(res["replaced"]) == [1, 2]
+    assert res["n_docs"] == 150  # nothing dropped: dead ids live in gen0
+    live = sorted(g["gen"] for g in _generations(spark, copy))
+    assert live == [-1, 0]
+    carried = spark.read.parquet(f"{copy}/gen_-1/tombstones")
+    assert carried.count() == 100  # gen1's base-pointing tombstones survive
+    _assert_serves_latest(spark, copy, n_urls=1050)
+    shutil.rmtree(copy, ignore_errors=True)
+
+
 def test_tiered_compaction_leaves_base_generation(spark, tmp_path):
     """Size-tiered compaction (tier_fraction): with generations of
     (600, 200, 200) docs only the two small ones are merged — the big

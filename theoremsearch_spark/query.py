@@ -563,6 +563,7 @@ def topk(
     *,
     filters=None,
     allowed_docs=None,
+    excluded_docs=None,
     k1: float | None = None,
     b: float | None = None,
 ) -> DataFrame:
@@ -573,6 +574,10 @@ def topk(
     posting lists (each group a term or an OR-list) — reference R3.
     `allowed_docs`: explicit doc_id whitelist (broadcast), for ad-hoc
     predicates; combine freely with `filters`.
+    `excluded_docs`: doc_id blacklist (tombstones) — NOTE: stats are
+    NOT corrected here (single-index ad-hoc exclusion); for exact
+    upsert semantics use topk_all_generations, which corrects
+    N/avgdl/df from the tombstone rows.
 
     k1/b overrides that differ from the index's build-time values are
     rejected: stored per-block `max_tf_norm` upper bounds are computed
@@ -606,7 +611,7 @@ def topk(
     return topk_frames(
         spark, blocks, tstats, queries,
         n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k,
-        filters=filters, allowed_docs=allowed_docs,
+        filters=filters, allowed_docs=allowed_docs, excluded_docs=excluded_docs,
         salt_threshold=salt_threshold, n_segments=n_segments,
     )
 
