@@ -27,7 +27,14 @@ from pyspark.sql import SparkSession
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--index", required=True, help="index root (contains index/ and docs/)")
+    p.add_argument("--index", help="index root (contains index/ and docs/)")
+    p.add_argument(
+        "--gens",
+        help="serve a multi-generation root (jobs/stream_index.py output) "
+        "instead of --index: generations merge under global statistics, "
+        "tombstoned (upserted-away) doc versions excluded with exact "
+        "stat corrections",
+    )
     p.add_argument("--queries", help="parquet path with (query_id, query_text)")
     p.add_argument("--synth-queries", type=int, help="use the 73-query set for a synth:N corpus")
     p.add_argument("--k", type=int, default=10)
@@ -49,10 +56,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         p.error("one of --queries / --synth-queries is required")
 
+    if bool(args.index) == bool(args.gens):
+        p.error("exactly one of --index / --gens is required")
     filters = [g.split(",") if "," in g else g for g in args.filter]
 
     t0 = time.monotonic()
-    if filters:
+    if args.gens:
+        if filters:
+            p.error("--filter is a single-index option (build-time filter terms)")
+        from pyspark.sql import functions as F
+
+        from theoremsearch_spark.streaming.incremental import topk_all_generations
+
+        hits = topk_all_generations(spark, args.gens, qs, k=args.k).orderBy(
+            "query_id", F.col("rank")
+        )
+    elif filters:
         from pyspark.sql import functions as F
 
         ranked = topk(spark, f"{args.index}/index", qs, k=args.k, filters=filters)
