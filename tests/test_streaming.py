@@ -483,6 +483,57 @@ def test_tiered_compaction_carries_foreign_tombstones(spark, upsert_index):
     shutil.rmtree(copy, ignore_errors=True)
 
 
+def test_multi_generation_filtered_serving(spark, tmp_path):
+    """R3 filters across merged generations: filter-term posting lists
+    built per generation must merge like any term, and filtered top-k
+    must equal the oracle computed over the union corpus masked to the
+    filter's doc set — completing the serving matrix
+    ({single-index, multi-gen} × {unfiltered, filtered})."""
+    from tests.test_filtered import oracle_filtered_topk
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import prepare_docs
+    from theoremsearch_spark.streaming.incremental import commit_generation
+
+    out = str(tmp_path / "gens")
+    full = generate_documents(spark, 1000, partitions=4).toPandas()
+    for gen, (lo, hi) in enumerate([(0, 600), (600, 1000)]):
+        gen_dir = f"{out}/gen_{gen}"
+        docs = prepare_docs(
+            spark.createDataFrame(full.iloc[lo:hi]), gen_dir, id_base=lo
+        ).withColumn(
+            "filter_terms", F.array(F.concat(F.lit("lang="), F.col("lang")))
+        )
+        build_index(docs, f"{gen_dir}/index", resume=False,
+                    salt_threshold=400, n_segments=4, n_buckets=4)
+        commit_generation(out, gen, lo, hi - lo)
+
+    docs_all = pd.concat(
+        [
+            spark.read.parquet(f"{out}/gen_{g}/docs")
+            .select("doc_id", "url", "lang", "extracted_text")
+            .toPandas()
+            for g in (0, 1)
+        ]
+    ).sort_values("doc_id").reset_index(drop=True)
+    oracle = BM25Oracle(
+        docs_all.rename(columns={"extracted_text": "text"})[["doc_id", "url", "text"]]
+    )
+    allowed = docs_all.loc[docs_all["lang"] == "en", "doc_id"].to_numpy()
+    assert 0 < allowed.size < len(docs_all)
+
+    qs = query_set(1000)[["query_id", "query_text"]].head(10)
+    hits = topk_all_generations(
+        spark, out, qs, k=10, filters=["lang=en"]
+    ).toPandas()
+    for qid, row in qs.set_index("query_id").iterrows():
+        want = oracle_filtered_topk(oracle, row["query_text"], allowed, 10)
+        got = hits[hits["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), qid
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
+        )
+
+
 def test_tiered_compaction_leaves_base_generation(spark, tmp_path):
     """Size-tiered compaction (tier_fraction): with generations of
     (600, 200, 200) docs only the two small ones are merged — the big

@@ -256,14 +256,22 @@ def incremental_index(
     return stream
 
 
-def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10):
+def topk_all_generations(
+    spark: SparkSession, out_dir: str, queries, k: int = 10,
+    filters=None, allowed_docs=None,
+):
     """Query across every committed generation with globally merged
     statistics (N, avgdl, df) — scores are identical to a from-scratch
-    batch build over the union corpus."""
+    batch build over the union corpus.
+
+    `filters` (reference R3) work exactly as in single-index topk: each
+    group is a required build-time filter term (or an OR-list). Filter
+    posting lists merge across generations like any term, and tombstoned
+    doc versions are excluded from filter sets too."""
     import pandas as pd
 
     from theoremsearch_spark.extract import tokenize
-    from theoremsearch_spark.query import topk_frames
+    from theoremsearch_spark.query import _normalize_filters, topk_frames
 
     gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
     if not gens:
@@ -290,6 +298,8 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
     k1, b = float(any_meta["k1"]), float(any_meta["b"])
 
     all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
+    for g in _normalize_filters(filters):
+        all_terms.extend(g)
 
     # ---- tombstone corrections (upsert serving) ----
     # A generation that re-ingested urls tombstoned the older doc
@@ -402,6 +412,7 @@ def topk_all_generations(spark: SparkSession, out_dir: str, queries, k: int = 10
     return topk_frames(
         spark, blocks, merged, queries, n_docs=int(n_docs), avgdl=float(avgdl),
         k1=k1, b=b, k=k, n_segments=n_segments, excluded_docs=excluded_ids,
+        filters=filters, allowed_docs=allowed_docs,
     )
 
 
