@@ -61,11 +61,20 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.monotonic()
     if args.synth_batch:
+        import os
+
         from theoremsearch_spark.corpus import generate_documents
 
-        batch_no = len(_generations(spark, args.out))
+        # name from the LANDING DIR contents, not the generation count:
+        # compaction shrinks the live generation count and a crashed run
+        # can leave a batch dir without a committed generation — either
+        # would collide with an existing synth_batch_N directory
+        land = args.input.rstrip("/*").rstrip("/")
+        batch_no = 0
+        while os.path.exists(f"{land}/synth_batch_{batch_no}"):
+            batch_no += 1
         generate_documents(spark, args.synth_batch).repartition(2).write.parquet(
-            f"{args.input.rstrip('/*')}/synth_batch_{batch_no}"
+            f"{land}/synth_batch_{batch_no}"
         )
 
     stream = incremental_index(

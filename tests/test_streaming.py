@@ -565,8 +565,10 @@ def test_tiered_compaction_leaves_base_generation(spark, tmp_path):
     qs = query_set(1000)[["query_id", "query_text"]].head(10)
     before = topk_all_generations(spark, out, qs, k=10).toPandas()
 
+    # similar-size buckets at f=0.7: the two 200s share a bucket; the
+    # 600 base sits alone → only the smalls merge
     res = compact_generations(
-        spark, out, tier_fraction=0.5,
+        spark, out, tier_fraction=0.7,
         salt_threshold=400, n_segments=4, n_buckets=4,
     )
     assert res["compacted"] and sorted(res["replaced"]) == [1, 2]
@@ -581,13 +583,92 @@ def test_tiered_compaction_leaves_base_generation(spark, tmp_path):
         df_.reset_index(drop=True, inplace=True)
     pd.testing.assert_frame_equal(before, after)
 
-    # merged gen (400) is not < 0.5 × 600 → only the base qualifies as
-    # "largest"; fewer than 2 qualifying generations → no-op
+    # at f=0.7 the merged 400 and the 600 base are NOT similar enough
+    # (600 > 400/0.7) → no mergeable bucket → no-op
     res2 = compact_generations(
-        spark, out, tier_fraction=0.5,
+        spark, out, tier_fraction=0.7,
         salt_threshold=400, n_segments=4, n_buckets=4,
     )
     assert res2["compacted"] is False and res2["selected"] < 2
+
+
+def test_tiered_compaction_merges_equal_size_stream(spark, tmp_path):
+    """The steady-state streaming shape: equal-size micro-batches must
+    land in ONE size bucket and compact — a policy keyed to the single
+    largest generation would no-op forever and let generation count
+    grow unboundedly."""
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import prepare_docs
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        commit_generation,
+        compact_generations,
+    )
+
+    out = str(tmp_path / "gens")
+    full = generate_documents(spark, 900, partitions=4).toPandas()
+    for gen, (lo, hi) in enumerate([(0, 300), (300, 600), (600, 900)]):
+        gen_dir = f"{out}/gen_{gen}"
+        docs = prepare_docs(
+            spark.createDataFrame(full.iloc[lo:hi]), gen_dir, id_base=lo
+        )
+        build_index(docs, f"{gen_dir}/index", resume=False,
+                    salt_threshold=400, n_segments=4, n_buckets=4)
+        commit_generation(out, gen, lo, hi - lo)
+
+    res = compact_generations(
+        spark, out, tier_fraction=0.5,
+        salt_threshold=400, n_segments=4, n_buckets=4,
+    )
+    assert res["compacted"] and sorted(res["replaced"]) == [0, 1, 2]
+    gens = _generations(spark, out)
+    assert [g["gen"] for g in gens] == [-1] and gens[0]["n_docs"] == 900
+
+
+def test_streaming_after_compaction_never_reuses_live_ids(spark, tmp_path):
+    """Post-compaction id safety, through one checkpoint lineage (a gens
+    root is bound to its checkpoint — batch ids must keep advancing):
+    stream 500 docs, re-ingest 50 urls (tombstoning the stale bodies),
+    compact (drops the 50 bodies: live count 500 < id high-water 550),
+    then stream 30 FRESH urls. The new batch must allocate ids from the
+    HIGH-WATER MARK (550) — a count-derived base would hand out ids
+    500..529, which are held by LIVE re-ingested docs, silently merging
+    two documents' postings at serve time."""
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        compact_generations,
+        incremental_index,
+    )
+
+    root = str(tmp_path / "idsafety")
+    inp, out, chk = f"{root}/in", f"{root}/gens", f"{root}/chk"
+    kw = dict(salt_threshold=400, n_segments=4, n_buckets=8)
+    full = generate_documents(spark, 530, partitions=2).toPandas()
+
+    spark.createDataFrame(full.iloc[:500]).repartition(1).write.parquet(f"{inp}/b0")
+    incremental_index(spark, f"{inp}/*", out, chk, **kw).start().awaitTermination(300)
+
+    mod = full.iloc[100:150].copy()
+    mod["html"] = mod["html"].map(lambda h: bytes(h) + b"<p>zzupserted fresh content</p>")
+    spark.createDataFrame(mod).repartition(1).write.parquet(f"{inp}/b1")
+    incremental_index(spark, f"{inp}/*", out, chk, **kw).start().awaitTermination(300)
+
+    res = compact_generations(spark, out, **kw)
+    assert res["compacted"] and res["n_docs"] == 500  # 50 bodies dropped
+    gens = _generations(spark, out)
+    assert gens[0].get("id_end") == 550  # high-water mark preserved
+
+    spark.createDataFrame(full.iloc[500:530]).repartition(1).write.parquet(f"{inp}/b2")
+    incremental_index(spark, f"{inp}/*", out, chk, **kw).start().awaitTermination(300)
+
+    new_gen = [g for g in _generations(spark, out) if g["gen"] >= 0]
+    assert len(new_gen) == 1 and new_gen[0]["base"] == 550  # not 500
+    new_ids = spark.read.parquet(
+        f"{out}/gen_{new_gen[0]['gen']}/docs_offset"
+    ).select("doc_id").toPandas()["doc_id"]
+    assert new_ids.min() == 550 and new_ids.is_unique
+    # end-to-end: serving still matches the latest-version oracle
+    _assert_serves_latest(spark, out, n_urls=530)
 
 
 def test_compact_generations_preserves_ranking(spark, stream_index):

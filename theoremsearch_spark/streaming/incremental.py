@@ -60,6 +60,25 @@ def _raw_generations(out_dir: str) -> list[dict]:
     return raw
 
 
+def _tier_buckets(gens: list[dict], f: float) -> list[list[dict]]:
+    """Similar-size buckets (the Cassandra-STCS shape): ascending by
+    n_docs, a generation joins a bucket when its size lies within
+    [f·avg, avg/f] of the bucket's running average. Equal-size
+    micro-batches share one bucket (so a steady stream compacts); a
+    generation much larger than the rest sits alone until younger
+    merged tiers grow comparable."""
+    buckets: list[list[dict]] = []
+    for g in sorted(gens, key=lambda g: g["n_docs"]):
+        for b in buckets:
+            avg = sum(x["n_docs"] for x in b) / len(b)
+            if f * avg <= g["n_docs"] <= avg / f:
+                b.append(g)
+                break
+        else:
+            buckets.append([g])
+    return buckets
+
+
 def _docs_path(out_dir: str, gen: int) -> str:
     import os
 
@@ -78,19 +97,51 @@ def _tombstone_paths(out_dir: str, gen_ids) -> list[str]:
 
 
 def commit_generation(
-    out_dir: str, gen: int, base: int, n_docs: int, replaces: list[int] = ()
+    out_dir: str,
+    gen: int,
+    base: int,
+    n_docs: int,
+    replaces: list[int] = (),
+    id_end: int | None = None,
 ) -> None:
+    """`id_end` = exclusive doc_id high-water mark of this generation.
+    Defaults to base + n_docs (dense streamed batches). Compaction MUST
+    pass the max of its inputs' id_ends: its post-drop row count
+    understates the id range (tombstoned bodies kept their ids), and a
+    next-free-id derived from counts would reuse live ids."""
     import json
     import os
 
     os.makedirs(f"{out_dir}/gens", exist_ok=True)
     tmp = f"{out_dir}/gens/.gen_{gen}.json.tmp"
-    rec = {"gen": int(gen), "base": int(base), "n_docs": int(n_docs)}
+    rec = {
+        "gen": int(gen),
+        "base": int(base),
+        "n_docs": int(n_docs),
+        "id_end": int(id_end if id_end is not None else base + n_docs),
+    }
     if replaces:
         rec["replaces"] = [int(g) for g in replaces]
     with open(tmp, "w") as fh:
         json.dump(rec, fh)
     os.rename(tmp, f"{out_dir}/gens/gen_{gen}.json")
+
+
+def _next_free_doc_id(out_dir: str) -> int:
+    """Doc-id high-water mark over the RAW manifest (superseded
+    generations included — their id ranges live on inside compacted
+    generations). NOT sum(n_docs): after a compaction that physically
+    dropped tombstoned bodies, live count < id high-water mark, and a
+    count-derived base would hand out ids already held by live docs
+    (silently merging two documents' postings at serve time)."""
+    return max(
+        (
+            int(r["id_end"]) if r.get("id_end") is not None
+            else int(r["base"]) + int(r["n_docs"])  # pre-id_end manifests
+            for r in _raw_generations(out_dir)
+        ),
+        default=0,
+    )
 
 
 def compact_generations(
@@ -109,13 +160,16 @@ def compact_generations(
 
     `tier_fraction=None` (full compaction) merges EVERY generation.
     `tier_fraction=f` is the size-tiered policy a long-running stream
-    needs: only generations with n_docs < f·max(n_docs) are merged, so
-    the big base generation is never rewritten — without it every
-    compaction run costs O(total corpus), i.e. compaction work grows
-    with corpus size instead of with the newly-streamed data. Needs ≥2
-    qualifying generations, else a no-op. Serving is unchanged either
-    way (generation-merged statistics are associative), which the
-    bitwise rank-identity pytest locks.
+    needs: generations are grouped into SIMILAR-SIZE buckets (a
+    generation joins a bucket when its n_docs lies within
+    [f·avg, avg/f] of the bucket's running average — `_tier_buckets`),
+    and the cheapest bucket with ≥2 members is merged. A steady stream
+    of equal-size micro-batches therefore compacts (they share one
+    bucket), while a big base generation sits alone until the merged
+    younger tiers grow comparable — total write amplification O(log N),
+    never an O(corpus) rewrite per batch. No mergeable bucket → no-op.
+    Serving is unchanged either way (generation-merged statistics are
+    associative), which the bitwise rank-identity pytest locks.
 
     Why it matters at scale: a streaming index accumulates a generation
     per micro-batch; serving cost grows with generation count (G× term
@@ -130,14 +184,18 @@ def compact_generations(
     if len(all_gens) < min_generations:
         return {"compacted": False, "generations": len(all_gens)}
     if tier_fraction is not None:
-        largest = max(g["n_docs"] for g in all_gens)
-        gens = [g for g in all_gens if g["n_docs"] < tier_fraction * largest]
-        if len(gens) < max(2, min_generations):
+        buckets = _tier_buckets(all_gens, tier_fraction)
+        mergeable = [b for b in buckets if len(b) >= max(2, min_generations)]
+        if not mergeable:
             return {
                 "compacted": False,
                 "generations": len(all_gens),
-                "selected": len(gens),
+                "selected": max((len(b) for b in buckets), default=0),
             }
+        gens = sorted(
+            min(mergeable, key=lambda b: sum(g["n_docs"] for g in b)),
+            key=lambda g: g["gen"],
+        )
     else:
         gens = all_gens
     docs = None
@@ -177,7 +235,14 @@ def compact_generations(
     if carried is not None:
         carried.write.mode("overwrite").parquet(f"{new_dir}/tombstones")
     commit_generation(
-        out_dir, new_gen, base=0, n_docs=n, replaces=[g["gen"] for g in gens]
+        out_dir, new_gen, base=0, n_docs=n, replaces=[g["gen"] for g in gens],
+        # post-drop count understates the id range — preserve the inputs'
+        # high-water mark so future batch ids never collide with live docs
+        id_end=max(
+            int(g["id_end"]) if g.get("id_end") is not None
+            else int(g["base"]) + int(g["n_docs"])
+            for g in gens
+        ),
     )
     return {"compacted": True, "generation": new_gen, "n_docs": n,
             "replaced": [g["gen"] for g in gens]}
@@ -208,7 +273,7 @@ def incremental_index(
         if any(g["gen"] == batch_id for g in _raw_generations(out_dir)):
             return  # replay of a committed batch — idempotent skip
         gens = _generations(spark, out_dir)
-        base = sum(g["n_docs"] for g in gens)
+        base = _next_free_doc_id(out_dir)
         gen_dir = f"{out_dir}/gen_{batch_id}"
         docs = prepare_docs(batch_df, gen_dir)
         if base:
