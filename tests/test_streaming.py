@@ -483,6 +483,81 @@ def test_tiered_compaction_carries_foreign_tombstones(spark, upsert_index):
     shutil.rmtree(copy, ignore_errors=True)
 
 
+def test_delete_documents_serves_survivors_only(spark, tmp_path):
+    """Pure DELETE (no replacement): a delete-only generation carries
+    tombstones with no index; serving excludes the deleted docs with
+    exact stat corrections (scores == from-scratch build over the
+    survivors), re-deleting is a no-op, and full compaction drops the
+    bodies and the delete-only generation."""
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import prepare_docs
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        commit_generation,
+        compact_generations,
+        delete_documents,
+    )
+
+    out = str(tmp_path / "gens")
+    full = generate_documents(spark, 500, partitions=4).toPandas()
+    docs = prepare_docs(spark.createDataFrame(full), f"{out}/gen_0")
+    build_index(docs, f"{out}/gen_0/index", resume=False,
+                salt_threshold=400, n_segments=4, n_buckets=4)
+    commit_generation(out, 0, 0, 500)
+
+    doomed = set(full["url"].iloc[100:150])
+    res = delete_documents(spark, out, doomed)
+    assert res["deleted"] == 50
+    gens = sorted(_generations(spark, out), key=lambda g: g["gen"])
+    assert [g.get("delete_only", False) for g in gens] == [False, True]
+
+    # oracle over the SURVIVORS (monotone dense remap keeps tie order)
+    kept = (
+        spark.read.parquet(f"{out}/gen_0/docs")
+        .select("doc_id", "url", "extracted_text")
+        .toPandas()
+    )
+    kept = kept[~kept["url"].isin(doomed)].sort_values("doc_id").reset_index(drop=True)
+    real_ids = kept["doc_id"].to_numpy()
+    oracle = BM25Oracle(
+        kept.assign(doc_id=np.arange(len(kept))).rename(
+            columns={"extracted_text": "text"}
+        )[["doc_id", "url", "text"]]
+    )
+    assert oracle.n_docs == 450
+
+    qs = query_set(500)[["query_id", "query_text"]].head(12)
+    hits = topk_all_generations(spark, out, qs, k=10).toPandas()
+    for qid, row in qs.set_index("query_id").iterrows():
+        want = oracle.topk(row["query_text"], k=10)
+        got = hits[hits["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == [int(real_ids[d]) for d in want["doc_id"]], qid
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
+        )
+
+    # re-delete: already-tombstoned versions are not double-corrected
+    res2 = delete_documents(spark, out, doomed)
+    assert res2["deleted"] == 0
+    hits2 = topk_all_generations(spark, out, qs, k=10).toPandas()
+    pd.testing.assert_frame_equal(
+        hits.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        hits2.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+    # full compaction: bodies dropped, delete-only generations replaced
+    res3 = compact_generations(
+        spark, out, salt_threshold=400, n_segments=4, n_buckets=4
+    )
+    assert res3["compacted"] and res3["n_docs"] == 450
+    assert sorted(res3["replaced"]) == [0, 1, 2]
+    hits3 = topk_all_generations(spark, out, qs, k=10).toPandas()
+    pd.testing.assert_frame_equal(
+        hits.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        hits3.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
 def test_multi_generation_filtered_serving(spark, tmp_path):
     """R3 filters across merged generations: filter-term posting lists
     built per generation must merge like any term, and filtered top-k

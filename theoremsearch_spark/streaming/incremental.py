@@ -183,8 +183,13 @@ def compact_generations(
     all_gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
     if len(all_gens) < min_generations:
         return {"compacted": False, "generations": len(all_gens)}
+    index_gens = [g for g in all_gens if not g.get("delete_only")]
+    delete_gens = [g for g in all_gens if g.get("delete_only")]
     if tier_fraction is not None:
-        buckets = _tier_buckets(all_gens, tier_fraction)
+        # size buckets over INDEX generations only; delete-only
+        # generations (tombstones, no bodies) ride along with any merge
+        # for free — their tombstones resolve or carry like the rest
+        buckets = _tier_buckets(index_gens, tier_fraction)
         mergeable = [b for b in buckets if len(b) >= max(2, min_generations)]
         if not mergeable:
             return {
@@ -193,13 +198,18 @@ def compact_generations(
                 "selected": max((len(b) for b in buckets), default=0),
             }
         gens = sorted(
-            min(mergeable, key=lambda b: sum(g["n_docs"] for g in b)),
+            min(mergeable, key=lambda b: sum(g["n_docs"] for g in b))
+            + delete_gens,
             key=lambda g: g["gen"],
         )
     else:
         gens = all_gens
+    if not [g for g in gens if not g.get("delete_only")]:
+        return {"compacted": False, "generations": len(all_gens)}
     docs = None
     for g in gens:
+        if g.get("delete_only"):
+            continue
         part = spark.read.parquet(_docs_path(out_dir, g["gen"]))
         docs = part if docs is None else docs.unionByName(part)
     # Tombstone resolution — only the MERGED generations' tombstones are
@@ -248,6 +258,65 @@ def compact_generations(
             "replaced": [g["gen"] for g in gens]}
 
 
+def delete_documents(spark: SparkSession, out_dir: str, urls) -> dict:
+    """Pure DELETE (no replacement): commit a DELETE-ONLY generation
+    holding just tombstones for every live doc whose url is in `urls` —
+    the un-paired half of the reference's DELETE WHERE id IN (…) +
+    insert cycle (/root/reference/ec2/rds/upsert.py:4-27 row deletes).
+
+    A delete-only generation has no docs/index directories; it carries
+    `delete_only: true` in the manifest so serving skips it when
+    building index scan paths but still applies its tombstones (and
+    stat corrections). Compaction resolves it like any tombstone
+    source. Returns {"generation", "deleted"}."""
+    import pandas as pd
+
+    gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
+    if not gens:
+        raise ValueError(f"no committed generations under {out_dir}")
+    live_ids = [int(g["gen"]) for g in gens if not g.get("delete_only")]
+    old = spark.read.parquet(*[_docs_path(out_dir, g) for g in live_ids])
+    url_df = spark.createDataFrame(pd.DataFrame({"url": list(urls)}))
+    dead = old.join(F.broadcast(url_df), "url").select(
+        "doc_id",
+        "url",
+        "doc_len",
+        F.array_distinct(
+            F.transform(
+                F.split("term_tfs", " "),
+                lambda e: F.substring_index(e, ":", 1),
+            )
+        ).alias("terms"),
+    )
+    # already-tombstoned versions must not be re-corrected
+    tomb_paths = _tombstone_paths(out_dir, [g["gen"] for g in gens])
+    if tomb_paths:
+        prior = spark.read.parquet(*tomb_paths).select("doc_id")
+        dead = dead.join(prior, "doc_id", "left_anti")
+    new_gen = max((int(g["gen"]) for g in _raw_generations(out_dir)), default=-1) + 1
+    gen_dir = f"{out_dir}/gen_{new_gen}"
+    dead.write.mode("overwrite").parquet(f"{gen_dir}/tombstones")
+    n_dead = spark.read.parquet(f"{gen_dir}/tombstones").count()
+    _commit_delete_generation(out_dir, new_gen)
+    return {"generation": new_gen, "deleted": n_dead}
+
+
+def _commit_delete_generation(out_dir: str, gen: int) -> None:
+    import json
+    import os
+
+    os.makedirs(f"{out_dir}/gens", exist_ok=True)
+    tmp = f"{out_dir}/gens/.gen_{gen}.json.tmp"
+    hwm = _next_free_doc_id(out_dir)
+    rec = {
+        "gen": int(gen), "base": 0, "n_docs": 0, "id_end": hwm,
+        "delete_only": True,
+    }
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.rename(tmp, f"{out_dir}/gens/gen_{gen}.json")
+
+
 def incremental_index(
     spark: SparkSession,
     input_dir: str,
@@ -282,7 +351,10 @@ def incremental_index(
             docs = spark.read.parquet(f"{gen_dir}/docs_offset")
         n = docs.count()
         build_index(docs, f"{gen_dir}/index", resume=False, **build_kwargs)
-        if gens:
+        docs_paths = [
+            _docs_path(out_dir, g["gen"]) for g in gens if not g.get("delete_only")
+        ]
+        if docs_paths:
             # upsert semantics (the reference's S12 replace-document —
             # DELETE WHERE paper_id IN batch + insert, /root/reference/
             # ec2/parse_arxiv_papers/__main__.py:269-283): a re-ingested
@@ -293,9 +365,7 @@ def incremental_index(
             # Production note: this scan of older generations' docs is
             # pruned to 3 columns; a deployment with heavy churn keeps a
             # url-hash-bucketed key index instead of scanning.
-            old = spark.read.parquet(
-                *[_docs_path(out_dir, g["gen"]) for g in gens]
-            )
+            old = spark.read.parquet(*docs_paths)
             batch_urls = docs.select("url").distinct()
             dead = old.join(F.broadcast(batch_urls), "url").select(
                 "doc_id",
@@ -341,7 +411,12 @@ def topk_all_generations(
     gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
     if not gens:
         raise ValueError(f"no committed generations under {out_dir}")
-    gen_ids = [int(g["gen"]) for g in gens]
+    # delete-only generations carry tombstones but no index — they join
+    # the tombstone scan below, never the index scan paths
+    gen_ids = [int(g["gen"]) for g in gens if not g.get("delete_only")]
+    if not gen_ids:
+        raise ValueError(f"only delete-only generations under {out_dir}")
+    tomb_gen_ids = [int(g["gen"]) for g in gens]
 
     # O(1) Spark jobs regardless of generation count: a streaming index
     # accumulates one generation per micro-batch, so per-generation reads
@@ -377,7 +452,7 @@ def topk_all_generations(
     # doc_stats stay stale until compaction, standard LSM behavior.
     excluded_ids = None
     dfc: dict[str, int] = {}
-    tomb_paths = _tombstone_paths(out_dir, gen_ids)
+    tomb_paths = _tombstone_paths(out_dir, tomb_gen_ids)
     if tomb_paths:
         import numpy as np
 
