@@ -376,6 +376,79 @@ def _bm25_upsert_oracle_sql() -> str:
     """
 
 
+DELETE_MOD = 11
+DELETE_RESIDUE = 5
+
+
+def _ensure_delete_generations(spark, sf_dir: str) -> str:
+    """Deletion fixture: generation 0 indexes the full documents table;
+    a DELETE-ONLY generation tombstones every doc with
+    doc_id % 11 == 5 (no replacement — the reference's bare row deletes,
+    /root/reference/ec2/rds/upsert.py:4-27)."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"ts_harness_delete_{_content_key(sf_dir)}"
+    )
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        from theoremsearch_spark.streaming.incremental import (
+            _commit_delete_generation,
+            commit_generation,
+        )
+
+        d = t(spark, sf_dir, "documents")
+        n0 = d.count()
+        gen0 = d.select(
+            "doc_id",
+            F.col("text").alias("extracted_text"),
+            F.size(F.split(F.col("text"), " ")).alias("doc_len"),
+        )
+        gen0.write.mode("overwrite").parquet(f"{out}/gen_0/docs")
+        build_index(
+            spark.read.parquet(f"{out}/gen_0/docs"), f"{out}/gen_0/index",
+            salt_threshold=200, n_segments=4, n_buckets=8, resume=False,
+        )
+        commit_generation(out, 0, 0, n0)
+        d.filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE).select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("doc_len"),
+            F.array_distinct(F.split(F.col("text"), " ")).alias("terms"),
+        ).write.mode("overwrite").parquet(f"{out}/gen_1/tombstones")
+        _commit_delete_generation(out, 1)
+        open(marker, "w").close()
+    return out
+
+
+def q_bm25_delete_topk(spark, sf_dir):
+    """Serving under pure deletion: a delete-only generation's
+    tombstones must make results hash-match textbook BM25 over the
+    SURVIVOR corpus (stats corrected, deleted docs never ranked)."""
+    from theoremsearch_spark.streaming.incremental import topk_all_generations
+
+    root = _ensure_delete_generations(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    hits = topk_all_generations(spark, root, qs, k=K)
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "rank")
+
+
+def _bm25_delete_oracle_sql() -> str:
+    corpus = f"""
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % {DELETE_MOD} <> {DELETE_RESIDUE})"""
+    return f"""
+        WITH {corpus},
+        {_bm25_scored_cte(corpus="corpus")},
+        ranked AS (
+            SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, rank, doc_id, round(s, 4) AS score
+        FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+    """
+
+
 RESCORE_W = 0.1
 POOL = 50
 
@@ -490,6 +563,7 @@ QUERIES = {
     "bm25_multi_generation": q_bm25_multi_generation,
     "bm25_compacted": q_bm25_compacted,
     "bm25_upsert_topk": q_bm25_upsert_topk,
+    "bm25_delete_topk": q_bm25_delete_topk,
 }
 ORACLES = {
     "bm25_topk": _bm25_oracle_sql(),
@@ -502,4 +576,6 @@ ORACLES = {
     "bm25_compacted": _bm25_oracle_sql(),
     # upsert serving == textbook BM25 over the latest version per doc
     "bm25_upsert_topk": _bm25_upsert_oracle_sql(),
+    # deletion serving == textbook BM25 over the survivor corpus
+    "bm25_delete_topk": _bm25_delete_oracle_sql(),
 }
