@@ -38,9 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-generations", type=int, default=2)
     p.add_argument(
         "--tier-fraction", type=float, default=None,
-        help="size-tiered selection: only merge generations with "
-        "n_docs < fraction * largest (the base generation is never "
-        "rewritten); default merges everything",
+        help="size-tiered selection: generations group into similar-size "
+        "buckets (membership within [f*avg, avg/f] of the bucket "
+        "average) and the cheapest bucket with >=2 members merges — "
+        "equal-size micro-batches compact, a dominant base generation "
+        "is never rewritten; default (unset) merges everything",
     )
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--segments", type=int, default=8)

@@ -505,11 +505,17 @@ def test_delete_documents_serves_survivors_only(spark, tmp_path):
                 salt_threshold=400, n_segments=4, n_buckets=4)
     commit_generation(out, 0, 0, 500)
 
+    # empty delete is a no-op (no generation committed, no crash)
+    assert delete_documents(spark, out, []) == {"generation": None, "deleted": 0}
+
     doomed = set(full["url"].iloc[100:150])
     res = delete_documents(spark, out, doomed)
     assert res["deleted"] == 50
+    # delete-only generations live in the NEGATIVE namespace so they can
+    # never collide with (and silently swallow) a future streaming batch
+    assert res["generation"] == -1
     gens = sorted(_generations(spark, out), key=lambda g: g["gen"])
-    assert [g.get("delete_only", False) for g in gens] == [False, True]
+    assert [g.get("delete_only", False) for g in gens] == [True, False]
 
     # oracle over the SURVIVORS (monotone dense remap keeps tie order)
     kept = (
@@ -536,9 +542,11 @@ def test_delete_documents_serves_survivors_only(spark, tmp_path):
             got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
         )
 
-    # re-delete: already-tombstoned versions are not double-corrected
+    # re-delete: already-tombstoned versions are not double-corrected,
+    # and a no-op delete commits NO generation (manifest stays bounded)
     res2 = delete_documents(spark, out, doomed)
-    assert res2["deleted"] == 0
+    assert res2 == {"generation": None, "deleted": 0}
+    assert len(_generations(spark, out)) == 2
     hits2 = topk_all_generations(spark, out, qs, k=10).toPandas()
     pd.testing.assert_frame_equal(
         hits.sort_values(["query_id", "rank"]).reset_index(drop=True),
@@ -550,7 +558,7 @@ def test_delete_documents_serves_survivors_only(spark, tmp_path):
         spark, out, salt_threshold=400, n_segments=4, n_buckets=4
     )
     assert res3["compacted"] and res3["n_docs"] == 450
-    assert sorted(res3["replaced"]) == [0, 1, 2]
+    assert sorted(res3["replaced"]) == [-1, 0] and res3["generation"] == -2
     hits3 = topk_all_generations(spark, out, qs, k=10).toPandas()
     pd.testing.assert_frame_equal(
         hits.sort_values(["query_id", "rank"]).reset_index(drop=True),

@@ -300,20 +300,9 @@ def _ensure_upsert_generations(spark, sf_dir: str) -> str:
     if not os.path.exists(marker):
         from theoremsearch_spark.streaming.incremental import commit_generation
 
+        n0 = _write_fullcorpus_gen0(spark, sf_dir, out)
         d = t(spark, sf_dir, "documents")
         reingest = F.col("doc_id") % UPSERT_MOD == UPSERT_RESIDUE
-        n0 = d.count()
-        gen0 = d.select(
-            "doc_id",
-            F.col("text").alias("extracted_text"),
-            F.size(F.split(F.col("text"), " ")).alias("doc_len"),
-        )
-        gen0.write.mode("overwrite").parquet(f"{out}/gen_0/docs")
-        build_index(
-            spark.read.parquet(f"{out}/gen_0/docs"), f"{out}/gen_0/index",
-            salt_threshold=200, n_segments=4, n_buckets=8, resume=False,
-        )
-        commit_generation(out, 0, 0, n0)
 
         newdoc = d.filter(reingest).select(
             (F.col("doc_id") + UPSERT_OFFSET).alias("doc_id"),
@@ -380,40 +369,52 @@ DELETE_MOD = 11
 DELETE_RESIDUE = 5
 
 
+def _write_fullcorpus_gen0(spark, sf_dir: str, out: str) -> int:
+    """Shared fixture step: generation 0 = an index over the full
+    documents table, committed to `out`'s manifest. Returns n_docs."""
+    from theoremsearch_spark.streaming.incremental import commit_generation
+
+    d = t(spark, sf_dir, "documents")
+    n0 = d.count()
+    d.select(
+        "doc_id",
+        F.col("text").alias("extracted_text"),
+        F.size(F.split(F.col("text"), " ")).alias("doc_len"),
+    ).write.mode("overwrite").parquet(f"{out}/gen_0/docs")
+    build_index(
+        spark.read.parquet(f"{out}/gen_0/docs"), f"{out}/gen_0/index",
+        salt_threshold=200, n_segments=4, n_buckets=8, resume=False,
+    )
+    commit_generation(out, 0, 0, n0)
+    return n0
+
+
 def _ensure_delete_generations(spark, sf_dir: str) -> str:
-    """Deletion fixture: generation 0 indexes the full documents table;
-    a DELETE-ONLY generation tombstones every doc with
-    doc_id % 11 == 5 (no replacement — the reference's bare row deletes,
-    /root/reference/ec2/rds/upsert.py:4-27)."""
+    """Deletion fixture: gen 0 indexes the full documents table; a
+    DELETE-ONLY generation (negative namespace) tombstones every doc
+    with doc_id % 11 == 5 (no replacement — the reference's bare row
+    deletes, /root/reference/ec2/rds/upsert.py:4-27)."""
     out = os.path.join(
         tempfile.gettempdir(), f"ts_harness_delete_{_content_key(sf_dir)}"
     )
     marker = os.path.join(out, "_done")
     if not os.path.exists(marker):
         from theoremsearch_spark.streaming.incremental import (
-            _commit_delete_generation,
+            _next_free_doc_id,
             commit_generation,
         )
 
+        _write_fullcorpus_gen0(spark, sf_dir, out)
         d = t(spark, sf_dir, "documents")
-        n0 = d.count()
-        gen0 = d.select(
-            "doc_id",
-            F.col("text").alias("extracted_text"),
-            F.size(F.split(F.col("text"), " ")).alias("doc_len"),
-        )
-        gen0.write.mode("overwrite").parquet(f"{out}/gen_0/docs")
-        build_index(
-            spark.read.parquet(f"{out}/gen_0/docs"), f"{out}/gen_0/index",
-            salt_threshold=200, n_segments=4, n_buckets=8, resume=False,
-        )
-        commit_generation(out, 0, 0, n0)
         d.filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE).select(
             "doc_id",
             F.size(F.split(F.col("text"), " ")).alias("doc_len"),
             F.array_distinct(F.split(F.col("text"), " ")).alias("terms"),
-        ).write.mode("overwrite").parquet(f"{out}/gen_1/tombstones")
-        _commit_delete_generation(out, 1)
+        ).write.mode("overwrite").parquet(f"{out}/gen_-1/tombstones")
+        commit_generation(
+            out, -1, base=0, n_docs=0,
+            id_end=_next_free_doc_id(out), delete_only=True,
+        )
         open(marker, "w").close()
     return out
 

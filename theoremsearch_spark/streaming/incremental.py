@@ -103,12 +103,14 @@ def commit_generation(
     n_docs: int,
     replaces: list[int] = (),
     id_end: int | None = None,
+    delete_only: bool = False,
 ) -> None:
     """`id_end` = exclusive doc_id high-water mark of this generation.
     Defaults to base + n_docs (dense streamed batches). Compaction MUST
     pass the max of its inputs' id_ends: its post-drop row count
     understates the id range (tombstoned bodies kept their ids), and a
-    next-free-id derived from counts would reuse live ids."""
+    next-free-id derived from counts would reuse live ids.
+    `delete_only` marks a tombstones-without-index generation."""
     import json
     import os
 
@@ -122,9 +124,20 @@ def commit_generation(
     }
     if replaces:
         rec["replaces"] = [int(g) for g in replaces]
+    if delete_only:
+        rec["delete_only"] = True
     with open(tmp, "w") as fh:
         json.dump(rec, fh)
     os.rename(tmp, f"{out_dir}/gens/gen_{gen}.json")
+
+
+def _gen_id_end(rec: dict) -> int:
+    """Exclusive id high-water mark of one manifest record, with the
+    pre-id_end-manifest fallback (base + n_docs — correct for streamed
+    generations, the only kind old manifests contain)."""
+    if rec.get("id_end") is not None:
+        return int(rec["id_end"])
+    return int(rec["base"]) + int(rec["n_docs"])
 
 
 def _next_free_doc_id(out_dir: str) -> int:
@@ -134,14 +147,17 @@ def _next_free_doc_id(out_dir: str) -> int:
     dropped tombstoned bodies, live count < id high-water mark, and a
     count-derived base would hand out ids already held by live docs
     (silently merging two documents' postings at serve time)."""
-    return max(
-        (
-            int(r["id_end"]) if r.get("id_end") is not None
-            else int(r["base"]) + int(r["n_docs"])  # pre-id_end manifests
-            for r in _raw_generations(out_dir)
-        ),
-        default=0,
-    )
+    return max((_gen_id_end(r) for r in _raw_generations(out_dir)), default=0)
+
+
+def _next_negative_gen(out_dir: str) -> int:
+    """Next id in the NEGATIVE generation namespace, shared by
+    compaction and delete-only generations: streaming micro-batch ids
+    are non-negative and grow without bound, so ANY positive
+    out-of-band id would eventually equal an upcoming batch_id — the
+    replay-idempotency check would then silently drop that whole batch.
+    First out-of-band generation = -1, then -2, …"""
+    return min(0, min((g["gen"] for g in _raw_generations(out_dir)), default=0)) - 1
 
 
 def compact_generations(
@@ -231,12 +247,7 @@ def compact_generations(
         carried = dead.join(
             pre_drop.select("doc_id"), "doc_id", "left_anti"
         )
-    # compacted generations live in a NEGATIVE id namespace: streaming
-    # micro-batch ids are non-negative and grow without bound, so any
-    # positive compaction id would eventually collide with a future
-    # batch — which would overwrite the compacted manifest entry and
-    # ingest into its directory. First compaction = -1, then -2, …
-    new_gen = min(0, min(g["gen"] for g in _raw_generations(out_dir))) - 1
+    new_gen = _next_negative_gen(out_dir)
     new_dir = f"{out_dir}/gen_{new_gen}"
     docs.write.mode("overwrite").parquet(f"{new_dir}/docs")
     docs = spark.read.parquet(f"{new_dir}/docs")
@@ -248,14 +259,28 @@ def compact_generations(
         out_dir, new_gen, base=0, n_docs=n, replaces=[g["gen"] for g in gens],
         # post-drop count understates the id range — preserve the inputs'
         # high-water mark so future batch ids never collide with live docs
-        id_end=max(
-            int(g["id_end"]) if g.get("id_end") is not None
-            else int(g["base"]) + int(g["n_docs"])
-            for g in gens
-        ),
+        id_end=max(_gen_id_end(g) for g in gens),
     )
     return {"compacted": True, "generation": new_gen, "n_docs": n,
             "replaced": [g["gen"] for g in gens]}
+
+
+def _tombstone_rows(docs_df: DataFrame) -> DataFrame:
+    """Project a docs frame into tombstone rows: (doc_id, url, doc_len,
+    distinct terms parsed out of the stored "term:tf …" string) — the
+    ONE tombstone schema both the upsert path and delete_documents
+    write, and the serving-side stat corrections read."""
+    return docs_df.select(
+        "doc_id",
+        "url",
+        "doc_len",
+        F.array_distinct(
+            F.transform(
+                F.split("term_tfs", " "),
+                lambda e: F.substring_index(e, ":", 1),
+            )
+        ).alias("terms"),
+    )
 
 
 def delete_documents(spark: SparkSession, out_dir: str, urls) -> dict:
@@ -267,54 +292,46 @@ def delete_documents(spark: SparkSession, out_dir: str, urls) -> dict:
     A delete-only generation has no docs/index directories; it carries
     `delete_only: true` in the manifest so serving skips it when
     building index scan paths but still applies its tombstones (and
-    stat corrections). Compaction resolves it like any tombstone
-    source. Returns {"generation", "deleted"}."""
+    stat corrections). It lives in the NEGATIVE generation namespace
+    (shared with compaction) — a positive id would collide with an
+    upcoming streaming batch_id and make the replay-idempotency check
+    silently drop that whole batch. Compaction resolves it like any
+    tombstone source. Deleting nothing (empty url set, or every target
+    already tombstoned) commits nothing. Returns
+    {"generation": id | None, "deleted": n}."""
+    import shutil
+
     import pandas as pd
 
+    urls = list(urls)
+    if not urls:
+        return {"generation": None, "deleted": 0}
     gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
     if not gens:
         raise ValueError(f"no committed generations under {out_dir}")
     live_ids = [int(g["gen"]) for g in gens if not g.get("delete_only")]
     old = spark.read.parquet(*[_docs_path(out_dir, g) for g in live_ids])
-    url_df = spark.createDataFrame(pd.DataFrame({"url": list(urls)}))
-    dead = old.join(F.broadcast(url_df), "url").select(
-        "doc_id",
-        "url",
-        "doc_len",
-        F.array_distinct(
-            F.transform(
-                F.split("term_tfs", " "),
-                lambda e: F.substring_index(e, ":", 1),
-            )
-        ).alias("terms"),
-    )
+    url_df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    dead = _tombstone_rows(old.join(F.broadcast(url_df), "url"))
     # already-tombstoned versions must not be re-corrected
     tomb_paths = _tombstone_paths(out_dir, [g["gen"] for g in gens])
     if tomb_paths:
         prior = spark.read.parquet(*tomb_paths).select("doc_id")
         dead = dead.join(prior, "doc_id", "left_anti")
-    new_gen = max((int(g["gen"]) for g in _raw_generations(out_dir)), default=-1) + 1
+    new_gen = _next_negative_gen(out_dir)
     gen_dir = f"{out_dir}/gen_{new_gen}"
     dead.write.mode("overwrite").parquet(f"{gen_dir}/tombstones")
     n_dead = spark.read.parquet(f"{gen_dir}/tombstones").count()
-    _commit_delete_generation(out_dir, new_gen)
+    if not n_dead:
+        # nothing newly dead → no generation: empty delete-only commits
+        # would grow the manifest forever, one per no-op run
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        return {"generation": None, "deleted": 0}
+    commit_generation(
+        out_dir, new_gen, base=0, n_docs=0,
+        id_end=_next_free_doc_id(out_dir), delete_only=True,
+    )
     return {"generation": new_gen, "deleted": n_dead}
-
-
-def _commit_delete_generation(out_dir: str, gen: int) -> None:
-    import json
-    import os
-
-    os.makedirs(f"{out_dir}/gens", exist_ok=True)
-    tmp = f"{out_dir}/gens/.gen_{gen}.json.tmp"
-    hwm = _next_free_doc_id(out_dir)
-    rec = {
-        "gen": int(gen), "base": 0, "n_docs": 0, "id_end": hwm,
-        "delete_only": True,
-    }
-    with open(tmp, "w") as fh:
-        json.dump(rec, fh)
-    os.rename(tmp, f"{out_dir}/gens/gen_{gen}.json")
 
 
 def incremental_index(
@@ -367,17 +384,7 @@ def incremental_index(
             # url-hash-bucketed key index instead of scanning.
             old = spark.read.parquet(*docs_paths)
             batch_urls = docs.select("url").distinct()
-            dead = old.join(F.broadcast(batch_urls), "url").select(
-                "doc_id",
-                "url",
-                "doc_len",
-                F.array_distinct(
-                    F.transform(
-                        F.split("term_tfs", " "),
-                        lambda e: F.substring_index(e, ":", 1),
-                    )
-                ).alias("terms"),
-            )
+            dead = _tombstone_rows(old.join(F.broadcast(batch_urls), "url"))
             dead.write.mode("overwrite").parquet(f"{gen_dir}/tombstones")
         commit_generation(out_dir, batch_id, base, n)
 
