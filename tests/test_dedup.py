@@ -181,6 +181,84 @@ def test_ngram_jaccard_stop_shingle_guard(spark, planted_corpus):
     assert found >= truth_hi
 
 
+# ---- property tests: the batch-vectorized (reduceat) signature math
+# must equal a naive per-row computation, for ANY batch shape ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from theoremsearch_spark.functions.dedup import (
+    _A,
+    _B,
+    _MERSENNE,
+    MINHASH_K,
+    minhash_sig_udf,
+    simhash_sig_udf,
+)
+
+_hash_row = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=0, max_size=24
+)
+
+
+def _naive_minhash(row: list[int]) -> np.ndarray:
+    arr = np.asarray(row if row else [0], dtype=np.int64).view(np.uint64)
+    h = arr % np.uint64(_MERSENNE)
+    return np.array(
+        [int(((h * _A[k] + _B[k]) % np.uint64(_MERSENNE)).min()) for k in range(MINHASH_K)],
+        dtype=np.uint64,
+    )
+
+
+def _naive_simhash(row: list[int]) -> int:
+    arr = np.asarray(row if row else [0], dtype=np.int64).view(np.uint64)
+    out = 0
+    for bit in range(64):
+        votes = sum(1 if (int(v) >> bit) & 1 else -1 for v in arr)
+        if votes > 0:
+            out |= 1 << bit
+    return out
+
+
+@given(st.lists(_hash_row, min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_minhash_batch_matches_naive_per_row(rows):
+    got = minhash_sig_udf.func(pd.Series([np.array(r, dtype=np.int64) for r in rows]))
+    for i, r in enumerate(rows):
+        assert np.array_equal(
+            np.asarray(got.iloc[i], dtype=np.int64).view(np.uint64), _naive_minhash(r)
+        ), f"row {i}"
+
+
+@given(st.lists(_hash_row, min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_simhash_batch_matches_naive_per_row(rows):
+    got = simhash_sig_udf.func(pd.Series([np.array(r, dtype=np.int64) for r in rows]))
+    for i, r in enumerate(rows):
+        assert int(np.int64(got.iloc[i])) & (2**64 - 1) == _naive_simhash(r) & (
+            2**64 - 1
+        ), f"row {i}"
+
+
+@given(_hash_row.filter(len), _hash_row.filter(len))
+@settings(max_examples=40, deadline=None)
+def test_minhash_union_identity(a, b):
+    """The defining MinHash identity: sig(A ∪ B) == elementwise
+    min(sig(A), sig(B)) — breaks under any segmentation/permutation bug
+    in the reduceat path."""
+    sigs = minhash_sig_udf.func(
+        pd.Series(
+            [
+                np.array(a, dtype=np.int64),
+                np.array(b, dtype=np.int64),
+                np.array(a + b, dtype=np.int64),
+            ]
+        )
+    )
+    sa, sb, sab = (np.asarray(s, dtype=np.int64).view(np.uint64) for s in sigs)
+    assert np.array_equal(sab, np.minimum(sa, sb))
+
+
 def test_bucket_pairs_streams_large_bucket(spark):
     """_bucket_pairs must stream a single large bucket (peak memory
     O(|ds|) per row) instead of materializing the O(|ds|²) pair array as
