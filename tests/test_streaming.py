@@ -483,6 +483,47 @@ def test_tiered_compaction_carries_foreign_tombstones(spark, upsert_index):
     shutil.rmtree(copy, ignore_errors=True)
 
 
+def test_generation_serving_job_count_is_constant(spark, tmp_path):
+    """The O(1)-jobs property: serving across G generations must launch
+    the SAME number of Spark jobs for G=2 and G=4 (multi-path scans +
+    one grouped scoring job — never per-generation reads, which would
+    grow the query plan linearly with streaming uptime)."""
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import prepare_docs
+    from theoremsearch_spark.streaming.incremental import commit_generation
+
+    full = generate_documents(spark, 800, partitions=4).toPandas()
+
+    def make_root(name, cuts):
+        out = str(tmp_path / name)
+        for gen, (lo, hi) in enumerate(zip(cuts[:-1], cuts[1:])):
+            gen_dir = f"{out}/gen_{gen}"
+            docs = prepare_docs(
+                spark.createDataFrame(full.iloc[lo:hi]), gen_dir, id_base=lo
+            )
+            build_index(docs, f"{gen_dir}/index", resume=False,
+                        salt_threshold=400, n_segments=4, n_buckets=4)
+            commit_generation(out, gen, lo, hi - lo)
+        return out
+
+    root2 = make_root("g2", [0, 400, 800])
+    root4 = make_root("g4", [0, 200, 400, 600, 800])
+    qs = query_set(800)[["query_id", "query_text"]].head(5)
+
+    def count_jobs(root, tag):
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            topk_all_generations(spark, root, qs, k=5).toPandas()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    j2 = count_jobs(root2, "jobs_g2")
+    j4 = count_jobs(root4, "jobs_g4")
+    assert j4 == j2, f"serving jobs grew with generation count: {j2} -> {j4}"
+
+
 def test_delete_documents_serves_survivors_only(spark, tmp_path):
     """Pure DELETE (no replacement): a delete-only generation carries
     tombstones with no index; serving excludes the deleted docs with
