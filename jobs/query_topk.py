@@ -62,15 +62,13 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.monotonic()
     if args.gens:
-        if filters:
-            p.error("--filter is a single-index option (build-time filter terms)")
         from pyspark.sql import functions as F
 
         from theoremsearch_spark.streaming.incremental import topk_all_generations
 
-        hits = topk_all_generations(spark, args.gens, qs, k=args.k).orderBy(
-            "query_id", F.col("rank")
-        )
+        hits = topk_all_generations(
+            spark, args.gens, qs, k=args.k, filters=filters or None
+        ).orderBy("query_id", F.col("rank"))
     elif filters:
         from pyspark.sql import functions as F
 

@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--segments", type=int, default=8)
     p.add_argument("--salt-threshold", type=int, default=50_000)
     p.add_argument(
+        "--filter-cols", default="lang",
+        help="comma-separated metadata columns indexed as filter-term "
+             "posting lists (col=value; reference R3 filtered serving) "
+             "— keep constant for the life of a root; '' disables",
+    )
+    p.add_argument(
         "--synth-batch", type=int, default=None,
         help="write one N-doc synthetic batch into the landing dir first",
     )
@@ -82,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
         args.input if args.input.endswith("*") else f"{args.input}/*",
         args.out,
         args.checkpoint,
+        filter_cols=[c for c in args.filter_cols.split(",") if c],
         salt_threshold=args.salt_threshold,
         n_segments=args.segments,
         n_buckets=args.buckets,

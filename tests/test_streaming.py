@@ -607,6 +607,90 @@ def test_delete_documents_serves_survivors_only(spark, tmp_path):
     )
 
 
+def test_streamed_root_filtered_serving_and_guard(spark, tmp_path):
+    """A root streamed with filter_cols=['lang'] serves R3 filters
+    oracle-identically; filtering on a key NO generation indexed raises
+    instead of silently dropping those generations' documents."""
+    from tests.test_filtered import oracle_filtered_topk
+    from theoremsearch_spark.streaming.incremental import incremental_index
+
+    root = str(tmp_path / "fstream")
+    inp, out, chk = f"{root}/in", f"{root}/gens", f"{root}/chk"
+    full = generate_documents(spark, 600, partitions=2).toPandas()
+    spark.createDataFrame(full).repartition(1).write.parquet(f"{inp}/b0")
+    incremental_index(
+        spark, f"{inp}/*", out, chk, filter_cols=["lang"],
+        salt_threshold=400, n_segments=4, n_buckets=4,
+    ).start().awaitTermination(300)
+
+    docs = (
+        spark.read.parquet(f"{out}/gen_0/docs")
+        .select("doc_id", "url", "lang", "extracted_text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle = BM25Oracle(
+        docs.rename(columns={"extracted_text": "text"})[["doc_id", "url", "text"]]
+    )
+    allowed = docs.loc[docs["lang"] == "en", "doc_id"].to_numpy()
+    qs = query_set(600)[["query_id", "query_text"]].head(8)
+    hits = topk_all_generations(spark, out, qs, k=10, filters=["lang=en"]).toPandas()
+    for qid, row in qs.set_index("query_id").iterrows():
+        want = oracle_filtered_topk(oracle, row["query_text"], allowed, 10)
+        got = hits[hits["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), qid
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
+        )
+
+    with pytest.raises(ValueError, match="filter_cols"):
+        topk_all_generations(spark, out, qs, k=10, filters=["source=src1"])
+
+
+def test_reingest_twice_never_duplicates_tombstones(spark, tmp_path):
+    """A url re-ingested TWICE: the second re-ingest must tombstone only
+    the immediately-stale version (gen1's), not gen0's already-dead one.
+    A duplicate would survive a tiered compaction that merges gen0+gen1
+    (resolving only THEIR tombstone files) and then double-subtract the
+    doc from the serving stat corrections — caught here by score
+    identity against the latest-version oracle after exactly that
+    merge."""
+    from theoremsearch_spark.streaming.incremental import (
+        compact_generations,
+        incremental_index,
+    )
+
+    root = str(tmp_path / "reingest2")
+    inp, out, chk = f"{root}/in", f"{root}/gens", f"{root}/chk"
+    kw = dict(salt_threshold=400, n_segments=4, n_buckets=4)
+    full = generate_documents(spark, 300, partitions=2).toPandas()
+
+    spark.createDataFrame(full).repartition(1).write.parquet(f"{inp}/b0")
+    incremental_index(spark, f"{inp}/*", out, chk, **kw).start().awaitTermination(300)
+
+    mod1 = full.iloc[:250].copy()  # big re-ingest → gen1 sizes near gen0
+    mod1["html"] = mod1["html"].map(lambda h: bytes(h) + b"<p>edition two</p>")
+    spark.createDataFrame(mod1).repartition(1).write.parquet(f"{inp}/b1")
+    incremental_index(spark, f"{inp}/*", out, chk, **kw).start().awaitTermination(300)
+
+    mod2 = full.iloc[:30].copy()  # re-ingest a subset AGAIN
+    mod2["html"] = mod2["html"].map(lambda h: bytes(h) + b"<p>edition three</p>")
+    spark.createDataFrame(mod2).repartition(1).write.parquet(f"{inp}/b2")
+    incremental_index(spark, f"{inp}/*", out, chk, **kw).start().awaitTermination(300)
+
+    # gen2 tombstones: ONLY gen1's versions (ids >= 300); gen0's versions
+    # of those urls are already dead and must not be re-tombstoned
+    t2 = spark.read.parquet(f"{out}/gen_2/tombstones").toPandas()
+    assert len(t2) == 30 and (t2["doc_id"] >= 300).all()
+
+    # similar-size buckets at 0.5 merge gen0 (300) + gen1 (250), leaving
+    # gen2 (30) — and its tombstones — outside the merge
+    res = compact_generations(spark, out, tier_fraction=0.5, **kw)
+    assert res["compacted"] and sorted(res["replaced"]) == [0, 1]
+    _assert_serves_latest(spark, out, n_urls=300)
+
+
 def test_multi_generation_filtered_serving(spark, tmp_path):
     """R3 filters across merged generations: filter-term posting lists
     built per generation must merge like any term, and filtered top-k

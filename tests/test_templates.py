@@ -76,6 +76,16 @@ def test_wrapper_chain_resolves_past_iteration_cap():
     assert out.strip() == "leaf(z)"
 
 
+def test_wrapper_lifting_preserves_surrounding_whitespace():
+    """Lifting must produce exactly what fixpoint substitution would:
+    whitespace around the wrapped call survives (' {{B}} ' → ' x ', not
+    'x' — which would merge adjacent tokens in the expanded text)."""
+    defs = {"B": (0, "x"), "W": (0, " {{B}} ")}
+    assert lift_wrappers(defs)["W"] == (0, " x ")
+    out = expand_templates("{{def:B(0)|x}} {{def:W(0)| {{B}} }} a{{W}}b")
+    assert "a x b" in out
+
+
 def test_wrapper_cycle_guard():
     defs = {"a": (0, "{{b}}"), "b": (0, "{{a}}")}
     lifted = lift_wrappers(defs)  # must terminate; bodies land on a cycle edge

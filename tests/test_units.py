@@ -125,6 +125,15 @@ def test_appendix_alpha_numbering():
     ]
 
 
+def test_appendix_orphan_level_keeps_zero_placeholder():
+    """In appendix mode a SKIPPED level-1 counter must still render the
+    '0' placeholder — alpha-formatting 0 as 'A' would collide with the
+    first real appendix section's number."""
+    doc = b'<h2 data-appendix>Orphan</h2><p>a</p><h1>Proofs</h1><p>b</p>'
+    names = [u["name"] for u in extract_units(doc)]
+    assert names == ["Orphan 0.1.", "Proofs A."]
+
+
 def test_swap_numbers_renders_number_first():
     """amsthm \\swapnumbers (theorem_forms.py:17,74-77)."""
     names = [u["name"] for u in extract_units(DOC, swap_numbers=True)]

@@ -220,9 +220,11 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    # threshold on the UNROUNDED value (the DuckDB oracles apply WHERE
+    # before rounding — filtering the rounded column would admit
+    # boundary pairs like J=0.79996 that the oracle drops)
+    return pairs.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 

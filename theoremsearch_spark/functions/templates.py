@@ -61,9 +61,10 @@ def _call_re(name: str) -> re.Pattern:
 
 
 # a body that is EXACTLY one call with in-order placeholder passthrough:
-# {{TARGET}} or {{TARGET|#1|#2|...}}
+# {{TARGET}} or {{TARGET|#1|#2|...}} — surrounding whitespace captured
+# so lifting preserves it (the fixpoint expansion would)
 _WRAPPER_BODY_RE = re.compile(
-    r"^\s*\{\{([A-Za-z][A-Za-z0-9_]*)((?:\|#\d+)*)\}\}\s*$"
+    r"^(\s*)\{\{([A-Za-z][A-Za-z0-9_]*)((?:\|#\d+)*)\}\}(\s*)$"
 )
 
 
@@ -85,15 +86,17 @@ def lift_wrappers(defs: dict[str, tuple[int, str]]) -> dict[str, tuple[int, str]
         n_args, body = out[name]
         for _ in range(len(defs)):
             m = _WRAPPER_BODY_RE.match(body)
-            if not m or m.group(1) not in out or m.group(1) in seen:
+            if not m or m.group(2) not in out or m.group(2) in seen:
                 break
-            target, raw = m.group(1), m.group(2)
+            pre, target, raw, post = m.groups()
             got = raw.split("|")[1:] if raw else []
             t_args, t_body = out[target]
             if got != [f"#{i}" for i in range(1, n_args + 1)] or len(got) != t_args:
                 break  # partial / reordered passthrough: not a pure wrapper
             seen.add(target)
-            body = t_body
+            # whitespace around the call survives, exactly as the
+            # fixpoint substitution would have produced
+            body = pre + t_body + post
         out[name] = (n_args, body)
     return out
 

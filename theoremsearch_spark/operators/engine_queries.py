@@ -322,7 +322,10 @@ def _ensure_upsert_generations(spark, sf_dir: str) -> str:
             F.size(F.split(F.col("text"), " ")).alias("doc_len"),
             F.array_distinct(F.split(F.col("text"), " ")).alias("terms"),
         ).write.mode("overwrite").parquet(f"{out}/gen_1/tombstones")
-        commit_generation(out, 1, n0, n1)
+        # id_end is the true high-water mark (+offset ids), NOT n0+n1 —
+        # commit_generation's default would understate it and a later id
+        # allocation against this root would collide with live docs
+        commit_generation(out, 1, n0, n1, id_end=UPSERT_OFFSET + n0)
         open(marker, "w").close()
     return out
 

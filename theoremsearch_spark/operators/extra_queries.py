@@ -307,6 +307,7 @@ def q_multimodal_image_meta(spark, sf_dir):
             (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
         )
         .withColumn("payload", gen_payload("media_id", "width", "height"))
+        .persist()  # consumed by TWO branches (features + md5) — one UDF pass
     )
     meta = extract_image_features(media.select("media_id", "payload"))
     md5s = media.select(

@@ -104,13 +104,18 @@ def commit_generation(
     replaces: list[int] = (),
     id_end: int | None = None,
     delete_only: bool = False,
+    filter_cols: list[str] | None = None,
 ) -> None:
     """`id_end` = exclusive doc_id high-water mark of this generation.
     Defaults to base + n_docs (dense streamed batches). Compaction MUST
     pass the max of its inputs' id_ends: its post-drop row count
     understates the id range (tombstoned bodies kept their ids), and a
     next-free-id derived from counts would reuse live ids.
-    `delete_only` marks a tombstones-without-index generation."""
+    `delete_only` marks a tombstones-without-index generation.
+    `filter_cols` records which metadata columns were indexed as
+    filter-term posting lists, so serving can reject a filter the
+    generation cannot answer (a generation missing the filter's posting
+    list would silently exclude ALL its docs from filtered results)."""
     import json
     import os
 
@@ -126,6 +131,8 @@ def commit_generation(
         rec["replaces"] = [int(g) for g in replaces]
     if delete_only:
         rec["delete_only"] = True
+    if filter_cols is not None:
+        rec["filter_cols"] = list(filter_cols)
     with open(tmp, "w") as fh:
         json.dump(rec, fh)
     os.rename(tmp, f"{out_dir}/gens/gen_{gen}.json")
@@ -252,7 +259,21 @@ def compact_generations(
     docs.write.mode("overwrite").parquet(f"{new_dir}/docs")
     docs = spark.read.parquet(f"{new_dir}/docs")
     n = docs.count()
-    build_index(docs, f"{new_dir}/index", resume=False, **build_kwargs)
+    # preserve filter-term indexing across the rewrite: when every
+    # merged generation RECORDED its filter_cols, re-derive the same
+    # posting lists (the intersection — they should be identical) for
+    # the compacted index and carry the record forward
+    rec_fcols = [
+        g.get("filter_cols") for g in gens if not g.get("delete_only")
+    ]
+    fcols: list[str] | None = None
+    if rec_fcols and all(fc is not None for fc in rec_fcols):
+        inter = set(rec_fcols[0])
+        for fc in rec_fcols[1:]:
+            inter &= set(fc)
+        fcols = sorted(inter)
+    bdocs, built_fcols = _with_filter_terms(docs, fcols)
+    build_index(bdocs, f"{new_dir}/index", resume=False, **build_kwargs)
     if carried is not None:
         carried.write.mode("overwrite").parquet(f"{new_dir}/tombstones")
     commit_generation(
@@ -260,9 +281,25 @@ def compact_generations(
         # post-drop count understates the id range — preserve the inputs'
         # high-water mark so future batch ids never collide with live docs
         id_end=max(_gen_id_end(g) for g in gens),
+        filter_cols=built_fcols if fcols is not None else None,
     )
     return {"compacted": True, "generation": new_gen, "n_docs": n,
             "replaced": [g["gen"] for g in gens]}
+
+
+def _with_filter_terms(docs: DataFrame, filter_cols) -> tuple[DataFrame, list[str]]:
+    """Attach the filter_terms array column (col=value posting-list
+    terms, reference R3) for the given metadata columns; returns the
+    frame and the columns actually present."""
+    cols = [c for c in (filter_cols or ()) if c in docs.columns]
+    if cols:
+        docs = docs.withColumn(
+            "filter_terms",
+            F.array(
+                *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in cols]
+            ),
+        )
+    return docs, cols
 
 
 def _tombstone_rows(docs_df: DataFrame) -> DataFrame:
@@ -339,6 +376,7 @@ def incremental_index(
     input_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    filter_cols: list[str] | None = None,
     **build_kwargs,
 ):
     """Stream documents (parquet files landing in input_dir) into an
@@ -346,7 +384,12 @@ def incremental_index(
     generation: out_dir/gen_<id>/{docs,index} — append-only, atomic per
     batch, replayable from the streaming checkpoint. doc_ids are offset
     by the running corpus size (gens manifest), so generations share one
-    id space and merge at query time like salted segments do."""
+    id space and merge at query time like salted segments do.
+
+    `filter_cols`: metadata columns indexed as filter-term posting lists
+    (col=value — reference R3), recorded in each generation's manifest;
+    keep it CONSTANT for the life of a root — topk_all_generations
+    rejects filters any generation didn't index."""
     from theoremsearch_spark.build import build_index
     from theoremsearch_spark.stats import prepare_docs
 
@@ -367,6 +410,7 @@ def incremental_index(
             docs.write.mode("overwrite").parquet(f"{gen_dir}/docs_offset")
             docs = spark.read.parquet(f"{gen_dir}/docs_offset")
         n = docs.count()
+        docs, fcols = _with_filter_terms(docs, filter_cols)
         build_index(docs, f"{gen_dir}/index", resume=False, **build_kwargs)
         docs_paths = [
             _docs_path(out_dir, g["gen"]) for g in gens if not g.get("delete_only")
@@ -385,8 +429,17 @@ def incremental_index(
             old = spark.read.parquet(*docs_paths)
             batch_urls = docs.select("url").distinct()
             dead = _tombstone_rows(old.join(F.broadcast(batch_urls), "url"))
+            # anti-join prior tombstones: a doc version tombstoned by an
+            # earlier batch must not be tombstoned AGAIN — a duplicate
+            # would survive a tiered compaction that resolves only the
+            # merged generations' tombstone files and then double-
+            # subtract that doc from the serving stat corrections
+            prior_paths = _tombstone_paths(out_dir, [g["gen"] for g in gens])
+            if prior_paths:
+                prior = spark.read.parquet(*prior_paths).select("doc_id")
+                dead = dead.join(prior, "doc_id", "left_anti")
             dead.write.mode("overwrite").parquet(f"{gen_dir}/tombstones")
-        commit_generation(out_dir, batch_id, base, n)
+        commit_generation(out_dir, batch_id, base, n, filter_cols=fcols)
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -445,8 +498,25 @@ def topk_all_generations(
     k1, b = float(any_meta["k1"]), float(any_meta["b"])
 
     all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
+    fkeys = set()
     for g in _normalize_filters(filters):
         all_terms.extend(g)
+        fkeys |= {t.split("=", 1)[0] for t in g}
+    if fkeys:
+        # a generation that did not index a filter's posting list would
+        # silently exclude ALL its docs from filtered results — reject
+        # when the manifest RECORDS what was indexed and it doesn't
+        # cover the filter (hand-committed generations without the
+        # field are trusted to have built their own filter_terms)
+        for g in gens:
+            fc = g.get("filter_cols")
+            if not g.get("delete_only") and fc is not None and not fkeys <= set(fc):
+                raise ValueError(
+                    f"generation {g['gen']} indexed filter_cols={fc} but the "
+                    f"query filters on {sorted(fkeys)} — filtered serving "
+                    "would silently drop that generation's documents; "
+                    "rebuild/compact with consistent filter_cols"
+                )
 
     # ---- tombstone corrections (upsert serving) ----
     # A generation that re-ingested urls tombstoned the older doc

@@ -152,7 +152,10 @@ class _Numberer:
         return "".join(reversed(out)) or "A"
 
     def _fmt1(self, n: int) -> str:
-        return self._alpha(n) if self.alpha1 else str(n)
+        # a skipped level-1 counter keeps its "0" placeholder even in
+        # alpha mode — _alpha(0) would render "A" and collide with the
+        # first real appendix section's number
+        return self._alpha(n) if self.alpha1 and n > 0 else str(n)
 
     def next(self, level: int, counter: str | None = None) -> str:
         if counter is None:
