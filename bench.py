@@ -113,6 +113,55 @@ def main() -> int:
             "engine_topk_filtered", serve_filtered, reps=3
         )
 
+        # --- engine: UPSERT serving (tombstone-corrected multi-gen) ---
+        # gen0 reuses the index built above (symlink); gen1 re-ingests
+        # 10% of urls with changed text and tombstones the stale
+        # versions. Timed: serving across both generations with exact
+        # stat corrections — the replace-document capability's cost.
+        def setup_gens():
+            from pyspark.sql import functions as F
+
+            from theoremsearch_spark.build import build_index
+            from theoremsearch_spark.streaming.incremental import commit_generation
+
+            root = f"{work}/gens"
+            os.makedirs(f"{root}/gen_0", exist_ok=True)
+            os.symlink(f"{work}/index", f"{root}/gen_0/index")
+            os.symlink(f"{work}/docs", f"{root}/gen_0/docs")
+            docs0 = spark.read.parquet(f"{work}/docs")
+            reingest = F.col("doc_id") % 10 == 3
+            newdoc = docs0.filter(reingest).select(
+                (F.col("doc_id") + n_docs).alias("doc_id"),
+                F.concat(F.col("extracted_text"), F.lit(" refreshed")).alias(
+                    "extracted_text"
+                ),
+            ).withColumn("doc_len", F.size(F.split("extracted_text", " ")))
+            newdoc.write.mode("overwrite").parquet(f"{root}/gen_1/docs_offset")
+            n1 = newdoc.count()
+            build_index(
+                spark.read.parquet(f"{root}/gen_1/docs_offset"),
+                f"{root}/gen_1/index", n_buckets=cpus, resume=False,
+                salt_threshold=max(1000, n_docs // 3), n_segments=8,
+            )
+            docs0.filter(reingest).select(
+                "doc_id", "doc_len",
+                F.array_distinct(F.split("extracted_text", " ")).alias("terms"),
+            ).write.mode("overwrite").parquet(f"{root}/gen_1/tombstones")
+            commit_generation(root, 0, 0, n_docs)
+            commit_generation(root, 1, n_docs, n1, id_end=2 * n_docs)
+            return root
+
+        gens_root = setup_gens()  # fixture build — not timed
+
+        def serve_upsert():
+            from theoremsearch_spark.streaming.incremental import (
+                topk_all_generations,
+            )
+
+            return topk_all_generations(spark, gens_root, qs, k=10).count()
+
+        extras["topk_upsert_rows"] = timed("engine_topk_upsert", serve_upsert, reps=3)
+
         # --- headline operators over the driver tables -----------------
         heads = {
             "pricing_summary": relational.q_pricing_summary,
