@@ -122,7 +122,10 @@ def main() -> int:
             from pyspark.sql import functions as F
 
             from theoremsearch_spark.build import build_index
-            from theoremsearch_spark.streaming.incremental import commit_generation
+            from theoremsearch_spark.streaming.incremental import (
+                _tombstone_rows,
+                commit_generation,
+            )
 
             root = f"{work}/gens"
             os.makedirs(f"{root}/gen_0", exist_ok=True)
@@ -143,10 +146,12 @@ def main() -> int:
                 f"{root}/gen_1/index", n_buckets=cpus, resume=False,
                 salt_threshold=max(1000, n_docs // 3), n_segments=8,
             )
-            docs0.filter(reingest).select(
-                "doc_id", "doc_len",
-                F.array_distinct(F.split("extracted_text", " ")).alias("terms"),
-            ).write.mode("overwrite").parquet(f"{root}/gen_1/tombstones")
+            # the canonical tombstone schema/projection — terms derive
+            # from the stored term_tfs, so the timed df-correction path
+            # does its real work
+            _tombstone_rows(docs0.filter(reingest)).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/gen_1/tombstones")
             commit_generation(root, 0, 0, n_docs)
             commit_generation(root, 1, n_docs, n1, id_end=2 * n_docs)
             return root

@@ -64,10 +64,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.gens:
         from pyspark.sql import functions as F
 
-        from theoremsearch_spark.streaming.incremental import topk_all_generations
+        from theoremsearch_spark.streaming.incremental import (
+            _docs_path,
+            _generations,
+            topk_all_generations,
+        )
 
-        hits = topk_all_generations(
+        ranked = topk_all_generations(
             spark, args.gens, qs, k=args.k, filters=filters or None
+        )
+        # same output schema as the --index branches: ranked ids joined
+        # back to document metadata (whatever columns the root's docs
+        # tables carry)
+        docs = spark.read.parquet(
+            *[
+                _docs_path(args.gens, g["gen"])
+                for g in _generations(spark, args.gens)
+                if not g.get("delete_only")
+            ]
+        )
+        meta_cols = [c for c in ("url", "lang", "warc_ts") if c in docs.columns]
+        hits = ranked.join(
+            docs.select("doc_id", *meta_cols), "doc_id", "left"
         ).orderBy("query_id", F.col("rank"))
     elif filters:
         from pyspark.sql import functions as F

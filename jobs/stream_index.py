@@ -47,10 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--segments", type=int, default=8)
     p.add_argument("--salt-threshold", type=int, default=50_000)
     p.add_argument(
-        "--filter-cols", default="lang",
+        "--filter-cols", default="",
         help="comma-separated metadata columns indexed as filter-term "
-             "posting lists (col=value; reference R3 filtered serving) "
-             "— keep constant for the life of a root; '' disables",
+             "posting lists (col=value; reference R3 filtered serving). "
+             "Keep constant for the life of a root — the default is OFF "
+             "so resuming a pre-existing root never silently mixes "
+             "filter-indexed and unindexed generations",
     )
     p.add_argument(
         "--synth-batch", type=int, default=None,
@@ -88,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         args.input if args.input.endswith("*") else f"{args.input}/*",
         args.out,
         args.checkpoint,
-        filter_cols=[c for c in args.filter_cols.split(",") if c],
+        filter_cols=[c.strip() for c in args.filter_cols.split(",") if c.strip()],
         salt_threshold=args.salt_threshold,
         n_segments=args.segments,
         n_buckets=args.buckets,

@@ -647,6 +647,82 @@ def test_streamed_root_filtered_serving_and_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="filter_cols"):
         topk_all_generations(spark, out, qs, k=10, filters=["source=src1"])
 
+    # RECORDED roots keep filter capability across compaction: stream a
+    # second batch of fresh urls, full-compact, and filtered serving is
+    # still oracle-identical over the union corpus
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        compact_generations,
+    )
+
+    extra = generate_documents(spark, 700, partitions=2).toPandas().iloc[600:]
+    spark.createDataFrame(extra).repartition(1).write.parquet(f"{inp}/b1")
+    incremental_index(
+        spark, f"{inp}/*", out, chk, filter_cols=["lang"],
+        salt_threshold=400, n_segments=4, n_buckets=4,
+    ).start().awaitTermination(300)
+    res = compact_generations(
+        spark, out, salt_threshold=400, n_segments=4, n_buckets=4
+    )
+    assert res["compacted"]
+    gens = {g["gen"]: g for g in _generations(spark, out)}
+    assert gens[res["generation"]].get("filter_cols") == ["lang"]
+
+    docs2 = (
+        spark.read.parquet(f"{out}/gen_{res['generation']}/docs")
+        .select("doc_id", "url", "lang", "extracted_text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle2 = BM25Oracle(
+        docs2.rename(columns={"extracted_text": "text"})[["doc_id", "url", "text"]]
+    )
+    allowed2 = docs2.loc[docs2["lang"] == "en", "doc_id"].to_numpy()
+    hits2 = topk_all_generations(spark, out, qs, k=10, filters=["lang=en"]).toPandas()
+    for qid, row in qs.set_index("query_id").iterrows():
+        want = oracle_filtered_topk(oracle2, row["query_text"], allowed2, 10)
+        got = hits2[hits2["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), qid
+
+
+def test_compaction_of_unrecorded_filter_root_fails_loudly(spark, tmp_path):
+    """Hand-built generations that indexed filter_terms WITHOUT
+    recording filter_cols cannot be re-derived by compaction (their
+    docs tables never persisted the filter columns' definitions) — the
+    compacted generation records filter_cols=[], so the next filtered
+    query raises at the guard instead of silently returning empty or
+    partial results."""
+    from theoremsearch_spark.build import build_index
+    from theoremsearch_spark.stats import prepare_docs
+    from theoremsearch_spark.streaming.incremental import (
+        commit_generation,
+        compact_generations,
+    )
+
+    out = str(tmp_path / "gens")
+    full = generate_documents(spark, 400, partitions=2).toPandas()
+    for gen, (lo, hi) in enumerate([(0, 200), (200, 400)]):
+        gen_dir = f"{out}/gen_{gen}"
+        docs = prepare_docs(
+            spark.createDataFrame(full.iloc[lo:hi]), gen_dir, id_base=lo
+        ).withColumn(
+            "filter_terms", F.array(F.concat(F.lit("lang="), F.col("lang")))
+        )
+        build_index(docs, f"{gen_dir}/index", resume=False,
+                    salt_threshold=400, n_segments=4, n_buckets=4)
+        commit_generation(out, gen, lo, hi - lo)  # filter_cols UNRECORDED
+
+    qs = query_set(400)[["query_id", "query_text"]].head(5)
+    # pre-compaction: filters work (hand-built lists, trusted-None guard)
+    assert topk_all_generations(spark, out, qs, k=5, filters=["lang=en"]).count() > 0
+    res = compact_generations(
+        spark, out, salt_threshold=400, n_segments=4, n_buckets=4
+    )
+    assert res["compacted"]
+    with pytest.raises(ValueError, match="filter_cols"):
+        topk_all_generations(spark, out, qs, k=5, filters=["lang=en"])
+
 
 def test_reingest_twice_never_duplicates_tombstones(spark, tmp_path):
     """A url re-ingested TWICE: the second re-ingest must tombstone only

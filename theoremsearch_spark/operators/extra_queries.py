@@ -313,11 +313,17 @@ def q_multimodal_image_meta(spark, sf_dir):
     md5s = media.select(
         "media_id", F.md5(F.lower(F.hex("payload"))).alias("payload_md5")
     )
-    return (
+    out = (
         meta.join(md5s, "media_id")
         .select("media_id", "format", "width", "height", "n_bytes", "payload_md5")
         .orderBy("media_id")
     )
+    # materialize while the cache is live, then RELEASE it — a leaked
+    # persist would pin the binary payloads in storage memory for the
+    # rest of the (long-lived harness) session
+    rows = out.collect()
+    media.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _multimodal_oracle() -> str:

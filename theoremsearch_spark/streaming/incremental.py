@@ -274,6 +274,12 @@ def compact_generations(
         fcols = sorted(inter)
     bdocs, built_fcols = _with_filter_terms(docs, fcols)
     build_index(bdocs, f"{new_dir}/index", resume=False, **build_kwargs)
+    # ALWAYS record what the compacted index actually carries — when the
+    # merged generations were unrecorded (hand-built roots whose
+    # filter_terms never persisted to their docs tables), the rebuild
+    # genuinely has no filter posting lists, and recording [] makes a
+    # later filtered query fail LOUDLY at the serving guard instead of
+    # silently returning empty/partial results
     if carried is not None:
         carried.write.mode("overwrite").parquet(f"{new_dir}/tombstones")
     commit_generation(
@@ -281,7 +287,7 @@ def compact_generations(
         # post-drop count understates the id range — preserve the inputs'
         # high-water mark so future batch ids never collide with live docs
         id_end=max(_gen_id_end(g) for g in gens),
-        filter_cols=built_fcols if fcols is not None else None,
+        filter_cols=built_fcols,
     )
     return {"compacted": True, "generation": new_gen, "n_docs": n,
             "replaced": [g["gen"] for g in gens]}
@@ -389,9 +395,19 @@ def incremental_index(
     `filter_cols`: metadata columns indexed as filter-term posting lists
     (col=value — reference R3), recorded in each generation's manifest;
     keep it CONSTANT for the life of a root — topk_all_generations
-    rejects filters any generation didn't index."""
+    rejects filters any generation didn't index. Unknown column names
+    are rejected HERE, at ingest time: silently narrowing would only
+    surface days later as an unanswerable filter."""
     from theoremsearch_spark.build import build_index
     from theoremsearch_spark.stats import prepare_docs
+
+    known = {f.name for f in DOCUMENTS_SCHEMA.fields} - {"html", "text"}
+    bad = [c for c in (filter_cols or ()) if c not in known]
+    if bad:
+        raise ValueError(
+            f"filter_cols {bad} not in the documents schema "
+            f"(indexable metadata columns: {sorted(known)})"
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
