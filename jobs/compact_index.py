@@ -36,8 +36,20 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", required=True, help="gens root directory")
     p.add_argument("--min-generations", type=int, default=2)
+    def tier_fraction_arg(s: str) -> float:
+        f = float(s)
+        if not 0.0 < f < 1.0:
+            # f >= 1 makes the [f*avg, avg/f] membership interval empty
+            # (or equal-sizes-only at f == 1), so tiered compaction would
+            # silently no-op forever; f <= 0 admits everything into one
+            # bucket — both are configuration mistakes, not policies
+            raise argparse.ArgumentTypeError(
+                f"--tier-fraction must be in (0, 1), got {f}"
+            )
+        return f
+
     p.add_argument(
-        "--tier-fraction", type=float, default=None,
+        "--tier-fraction", type=tier_fraction_arg, default=None,
         help="size-tiered selection: generations group into similar-size "
         "buckets (membership within [f*avg, avg/f] of the bucket "
         "average) and the cheapest bucket with >=2 members merges — "

@@ -67,17 +67,27 @@ def main(argv: list[str] | None = None) -> int:
         incremental_index,
     )
 
-    t0 = time.monotonic()
-    if args.synth_batch:
-        import os
+    import os
 
+    t0 = time.monotonic()
+    # --input is either a DIRECTORY (the landing dir; the stream watches
+    # <dir>/*) or an explicit glob, used verbatim. The old rule appended
+    # '/*' to anything not ending in a bare '*', so 'dir/*.parquet'
+    # became 'dir/*.parquet/*' — a path matching nothing.
+    is_glob = any(ch in args.input for ch in "*?[")
+    stream_path = args.input if is_glob else args.input.rstrip("/") + "/*"
+
+    if args.synth_batch:
         from theoremsearch_spark.corpus import generate_documents
 
         # name from the LANDING DIR contents, not the generation count:
         # compaction shrinks the live generation count and a crashed run
         # can leave a batch dir without a committed generation — either
-        # would collide with an existing synth_batch_N directory
-        land = args.input.rstrip("/*").rstrip("/")
+        # would collide with an existing synth_batch_N directory.
+        # For a glob input the landing dir is the glob's parent directory
+        # (os.path.dirname), not input.rstrip('/*') — that rule turned
+        # 'dir/*.parquet' into a literal 'dir/*.parquet' landing path.
+        land = os.path.dirname(args.input) if is_glob else args.input.rstrip("/")
         batch_no = 0
         while os.path.exists(f"{land}/synth_batch_{batch_no}"):
             batch_no += 1
@@ -87,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
 
     stream = incremental_index(
         spark,
-        args.input if args.input.endswith("*") else f"{args.input}/*",
+        stream_path,
         args.out,
         args.checkpoint,
         filter_cols=[c.strip() for c in args.filter_cols.split(",") if c.strip()],

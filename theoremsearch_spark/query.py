@@ -575,14 +575,25 @@ def topk(
     `allowed_docs`: explicit doc_id whitelist (broadcast), for ad-hoc
     predicates; combine freely with `filters`.
     `excluded_docs`: doc_id blacklist (tombstones) — NOTE: stats are
-    NOT corrected here (single-index ad-hoc exclusion); for exact
-    upsert semantics use topk_all_generations, which corrects
-    N/avgdl/df from the tombstone rows.
+    NOT corrected here (single-index ad-hoc exclusion), so scores
+    differ from a rebuild over the survivors; a one-time warning is
+    emitted. For exact upsert semantics use topk_all_generations,
+    which corrects N/avgdl/df from the tombstone rows.
 
     k1/b overrides that differ from the index's build-time values are
     rejected: stored per-block `max_tf_norm` upper bounds are computed
     with the build parameters, and pruning with foreign k1/b could
     silently drop true top-k members."""
+    if excluded_docs is not None:
+        import warnings
+
+        warnings.warn(
+            "topk(excluded_docs=...) excludes docs WITHOUT correcting "
+            "N/avgdl/df — scores will differ from a rebuild over the "
+            "survivors; use topk_all_generations for exact upsert/delete "
+            "semantics",
+            stacklevel=2,
+        )
     meta = load_index_meta(spark, index_dir)
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
     if k1 is not None and abs(float(k1) - float(meta["k1"])) > 1e-12:

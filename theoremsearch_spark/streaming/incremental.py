@@ -203,6 +203,13 @@ def compact_generations(
     """
     from theoremsearch_spark.build import build_index
 
+    if tier_fraction is not None and not 0.0 < tier_fraction < 1.0:
+        raise ValueError(
+            f"tier_fraction must be in (0, 1), got {tier_fraction}: at "
+            "f >= 1 the [f*avg, avg/f] size-bucket membership interval is "
+            "empty and compaction silently no-ops forever; f <= 0 merges "
+            "arbitrarily different sizes"
+        )
     all_gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
     if len(all_gens) < min_generations:
         return {"compacted": False, "generations": len(all_gens)}
