@@ -407,6 +407,92 @@ def test_upsert_tombstones_serve_latest_versions(spark, upsert_index):
     assert len(marker_hits) > 0 and (marker_hits["doc_id"] >= 1000).all()
 
 
+def test_upsert_ingest_reads_only_url_buckets(spark, upsert_index):
+    """The prior-version lookup an ingesting batch performs must read
+    ONLY the url-hash key-index buckets its urls fall into — never a
+    generation's docs table (which would be an O(corpus) scan per
+    micro-batch at 100 TB). Also locks the row semantics: one row per
+    LIVE stored version of each requested url (stale-version filtering
+    is the caller's tombstone anti-join)."""
+    import os
+    import re
+
+    from theoremsearch_spark.streaming.incremental import (
+        KEY_BUCKETS,
+        _generations,
+        _prior_version_rows,
+        _url_bucket,
+    )
+
+    out = upsert_index["out"]
+    full = upsert_index["full"]
+    gens = sorted(_generations(spark, out), key=lambda g: g["gen"])
+    for g in gens:
+        assert os.path.isdir(f"{out}/gen_{g['gen']}/keyindex")
+        assert g["key_buckets"] == KEY_BUCKETS
+
+    # 5 never-re-ingested urls (1 version each) + 2 re-ingested urls
+    # (2 stored versions each: gen0 stale + gen1 current)
+    urls = full["url"].iloc[:5].tolist() + full["url"].iloc[100:102].tolist()
+    urls_df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    rows = _prior_version_rows(spark, out, gens, urls_df)
+
+    touched = {
+        r["ub"]
+        for r in urls_df.select(
+            _url_bucket(F.col("url"), KEY_BUCKETS).alias("ub")
+        ).distinct().collect()
+    }
+    files = rows.inputFiles()
+    assert files, "pruned read planned no files"
+    for f in files:
+        assert "/keyindex/ub=" in f, f"non-keyindex file read: {f}"
+        assert int(re.search(r"/ub=(\d+)/", f).group(1)) in touched, f
+    # bounded: ≤ |touched buckets| dirs per generation
+    assert len({re.sub(r"/[^/]+$", "", f) for f in files}) <= len(touched) * len(gens)
+
+    got = rows.toPandas()
+    assert len(got) == 5 * 1 + 2 * 2
+    assert set(got["url"]) == set(urls)
+    assert set(got.columns) == {"doc_id", "url", "doc_len", "terms"}
+
+
+def test_compacted_generation_carries_keyindex(spark, upsert_index):
+    """Compaction must rebuild the url key index over the merged docs so
+    future upsert batches against the compacted root keep the
+    bucket-pruned lookup path."""
+    import os
+    import shutil
+
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        _prior_version_rows,
+        compact_generations,
+    )
+
+    out = upsert_index["out"]
+    work = str(spark.conf.get("spark.local.dir", "/tmp"))
+    copy = f"{work}/upsert_keyindex_copy"
+    shutil.rmtree(copy, ignore_errors=True)
+    shutil.copytree(out, copy)
+
+    res = compact_generations(spark, copy, salt_threshold=400, n_segments=4, n_buckets=8)
+    assert res["compacted"]
+    new_gen = res["generation"]
+    assert os.path.isdir(f"{copy}/gen_{new_gen}/keyindex")
+    gens = _generations(spark, copy)
+    assert gens[0].get("key_buckets")
+
+    urls_df = spark.createDataFrame(
+        pd.DataFrame({"url": upsert_index["full"]["url"].iloc[100:103].tolist()})
+    )
+    rows = _prior_version_rows(spark, copy, gens, urls_df)
+    assert all("/keyindex/ub=" in f for f in rows.inputFiles())
+    # post-compaction: exactly one live version per url remains stored
+    assert rows.count() == 3
+    shutil.rmtree(copy, ignore_errors=True)
+
+
 def test_full_compaction_drops_tombstoned_bodies(spark, upsert_index):
     """FULL compaction physically removes tombstoned docs and clears
     tombstones: the compacted generation holds exactly one version per

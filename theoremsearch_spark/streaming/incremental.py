@@ -96,6 +96,91 @@ def _tombstone_paths(out_dir: str, gen_ids) -> list[str]:
     ]
 
 
+# url-hash key-index bucket count per generation. Recorded in each
+# generation's manifest (`key_buckets`), so changing the constant only
+# affects NEW generations — readers use the recorded per-gen value.
+KEY_BUCKETS = 64
+
+
+def _url_bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(int(n_buckets))).cast("int")
+
+
+def _write_keyindex(docs_df: DataFrame, path: str, n_buckets: int = KEY_BUCKETS) -> None:
+    """Persist a generation's url→doc key index: tombstone-shaped rows
+    (doc_id, url, doc_len, terms) hash-partitioned into `ub=<n>` dirs by
+    `pmod(xxhash64(url), n_buckets)` — the same key-hash-bucket layout
+    as sources/sinks.upsert_parquet. An ingesting micro-batch then reads
+    ONLY the buckets its urls hash into (O(u/B) of the corpus instead of
+    an O(corpus) docs scan per batch — the reference analog is a keyed
+    DELETE, not a table scan: /root/reference/ec2/parse_arxiv_papers/
+    __main__.py:269-283). Cost: one extra bounded write per generation
+    (≈ the term_tfs column again), amortized over every future batch
+    that would otherwise rescan this generation."""
+    rows = _tombstone_rows(docs_df).withColumn(
+        "ub", _url_bucket(F.col("url"), n_buckets)
+    )
+    rows.repartition("ub").write.mode("overwrite").partitionBy("ub").parquet(path)
+
+
+def _prior_version_rows(
+    spark: SparkSession, out_dir: str, gens: list[dict], urls_df: DataFrame
+) -> DataFrame | None:
+    """Tombstone-shaped rows (doc_id, url, doc_len, terms) of every LIVE
+    doc version whose url is in `urls_df`. Generations that wrote a key
+    index are read via exactly the `ub=` bucket dirs the batch's urls
+    hash into (partition-level pruning, no docs-table access);
+    generations without one (hand-built roots, pre-keyindex manifests)
+    fall back to the column-pruned docs scan. Returns None when there
+    are no prior index generations."""
+    import os
+
+    live = [g for g in gens if not g.get("delete_only")]
+    if not live:
+        return None
+    with_ki = [
+        g for g in live if os.path.isdir(f"{out_dir}/gen_{g['gen']}/keyindex")
+    ]
+    without = [g for g in live if g not in with_ki]
+    parts: list[DataFrame] = []
+    if with_ki:
+        # ≤ max(key_buckets) tiny ints to the driver — which bucket dirs
+        # this batch's urls can possibly live in, per recorded bucket count
+        moduli = sorted({int(g.get("key_buckets", KEY_BUCKETS)) for g in with_ki})
+        touched: dict[int, set[int]] = {
+            m: {
+                r["ub"]
+                for r in urls_df.select(
+                    _url_bucket(F.col("url"), m).alias("ub")
+                ).distinct().collect()
+            }
+            for m in moduli
+        }
+        paths = [
+            p
+            for g in with_ki
+            for b in sorted(touched[int(g.get("key_buckets", KEY_BUCKETS))])
+            if os.path.isdir(p := f"{out_dir}/gen_{g['gen']}/keyindex/ub={b}")
+        ]
+        if paths:
+            parts.append(
+                spark.read.parquet(*paths)
+                .join(F.broadcast(urls_df), "url")
+                .select("doc_id", "url", "doc_len", "terms")
+            )
+    if without:
+        old = spark.read.parquet(
+            *[_docs_path(out_dir, g["gen"]) for g in without]
+        )
+        parts.append(_tombstone_rows(old.join(F.broadcast(urls_df), "url")))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def commit_generation(
     out_dir: str,
     gen: int,
@@ -105,6 +190,7 @@ def commit_generation(
     id_end: int | None = None,
     delete_only: bool = False,
     filter_cols: list[str] | None = None,
+    key_buckets: int | None = None,
 ) -> None:
     """`id_end` = exclusive doc_id high-water mark of this generation.
     Defaults to base + n_docs (dense streamed batches). Compaction MUST
@@ -133,6 +219,8 @@ def commit_generation(
         rec["delete_only"] = True
     if filter_cols is not None:
         rec["filter_cols"] = list(filter_cols)
+    if key_buckets is not None:
+        rec["key_buckets"] = int(key_buckets)
     with open(tmp, "w") as fh:
         json.dump(rec, fh)
     os.rename(tmp, f"{out_dir}/gens/gen_{gen}.json")
@@ -281,6 +369,13 @@ def compact_generations(
         fcols = sorted(inter)
     bdocs, built_fcols = _with_filter_terms(docs, fcols)
     build_index(bdocs, f"{new_dir}/index", resume=False, **build_kwargs)
+    # carry the url key index forward: the compacted generation answers
+    # future upsert batches' prior-version lookups from bucket reads too.
+    # Hand-built roots whose docs never stored url/term_tfs can't build
+    # one — they stay on the pruned-docs-scan fallback.
+    has_keyindex = {"url", "term_tfs"} <= set(docs.columns)
+    if has_keyindex:
+        _write_keyindex(docs, f"{new_dir}/keyindex")
     # ALWAYS record what the compacted index actually carries — when the
     # merged generations were unrecorded (hand-built roots whose
     # filter_terms never persisted to their docs tables), the rebuild
@@ -295,6 +390,7 @@ def compact_generations(
         # high-water mark so future batch ids never collide with live docs
         id_end=max(_gen_id_end(g) for g in gens),
         filter_cols=built_fcols,
+        key_buckets=KEY_BUCKETS if has_keyindex else None,
     )
     return {"compacted": True, "generation": new_gen, "n_docs": n,
             "replaced": [g["gen"] for g in gens]}
@@ -359,10 +455,12 @@ def delete_documents(spark: SparkSession, out_dir: str, urls) -> dict:
     gens = sorted(_generations(spark, out_dir), key=lambda g: g["gen"])
     if not gens:
         raise ValueError(f"no committed generations under {out_dir}")
-    live_ids = [int(g["gen"]) for g in gens if not g.get("delete_only")]
-    old = spark.read.parquet(*[_docs_path(out_dir, g) for g in live_ids])
     url_df = spark.createDataFrame(pd.DataFrame({"url": urls}))
-    dead = _tombstone_rows(old.join(F.broadcast(url_df), "url"))
+    # same pruned lookup as upsert ingestion: key-index bucket reads for
+    # generations that have one, docs-scan fallback otherwise
+    dead = _prior_version_rows(spark, out_dir, gens, url_df)
+    if dead is None:
+        raise ValueError(f"only delete-only generations under {out_dir}")
     # already-tombstoned versions must not be re-corrected
     tomb_paths = _tombstone_paths(out_dir, [g["gen"] for g in gens])
     if tomb_paths:
@@ -435,23 +533,23 @@ def incremental_index(
         n = docs.count()
         docs, fcols = _with_filter_terms(docs, filter_cols)
         build_index(docs, f"{gen_dir}/index", resume=False, **build_kwargs)
-        docs_paths = [
-            _docs_path(out_dir, g["gen"]) for g in gens if not g.get("delete_only")
-        ]
-        if docs_paths:
-            # upsert semantics (the reference's S12 replace-document —
-            # DELETE WHERE paper_id IN batch + insert, /root/reference/
-            # ec2/parse_arxiv_papers/__main__.py:269-283): a re-ingested
-            # url TOMBSTONES its older doc versions. The tombstone row
-            # carries (doc_id, doc_len, distinct terms) so serving can
-            # correct N/avgdl/df exactly without re-reading old docs —
-            # LSM delete-tombstone physics; compaction drops the bodies.
-            # Production note: this scan of older generations' docs is
-            # pruned to 3 columns; a deployment with heavy churn keeps a
-            # url-hash-bucketed key index instead of scanning.
-            old = spark.read.parquet(*docs_paths)
-            batch_urls = docs.select("url").distinct()
-            dead = _tombstone_rows(old.join(F.broadcast(batch_urls), "url"))
+        # url→doc key index for THIS generation: future batches that
+        # re-ingest any of these urls read only the hash buckets their
+        # urls land in, never this generation's docs table
+        _write_keyindex(docs, f"{gen_dir}/keyindex")
+        # upsert semantics (the reference's S12 replace-document —
+        # DELETE WHERE paper_id IN batch + insert, /root/reference/
+        # ec2/parse_arxiv_papers/__main__.py:269-283): a re-ingested
+        # url TOMBSTONES its older doc versions. The tombstone row
+        # carries (doc_id, doc_len, distinct terms) so serving can
+        # correct N/avgdl/df exactly without re-reading old docs —
+        # LSM delete-tombstone physics; compaction drops the bodies.
+        # Prior versions come from the generations' url-hash KEY
+        # INDEXES (O(u/B) bucket reads per batch), not a docs scan —
+        # an O(corpus) pass per micro-batch at 100 TB otherwise.
+        batch_urls = docs.select("url").distinct()
+        dead = _prior_version_rows(spark, out_dir, gens, batch_urls)
+        if dead is not None:
             # anti-join prior tombstones: a doc version tombstoned by an
             # earlier batch must not be tombstoned AGAIN — a duplicate
             # would survive a tiered compaction that resolves only the
@@ -462,7 +560,10 @@ def incremental_index(
                 prior = spark.read.parquet(*prior_paths).select("doc_id")
                 dead = dead.join(prior, "doc_id", "left_anti")
             dead.write.mode("overwrite").parquet(f"{gen_dir}/tombstones")
-        commit_generation(out_dir, batch_id, base, n, filter_cols=fcols)
+        commit_generation(
+            out_dir, batch_id, base, n, filter_cols=fcols,
+            key_buckets=KEY_BUCKETS,
+        )
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
