@@ -457,6 +457,25 @@ def test_upsert_ingest_reads_only_url_buckets(spark, upsert_index):
     assert set(got.columns) == {"doc_id", "url", "doc_len", "terms"}
 
 
+def test_tombstone_artifact_is_executor_packed(spark, upsert_index):
+    """The serve-time exclusion mask must arrive as compressed
+    executor-packed chunks (PackedDocIdSet), decode to exactly the
+    distinct tombstoned ids, and carry the exact doc_len sum — no
+    Row-per-tombstone driver collect."""
+    from theoremsearch_spark.codec import PackedDocIdSet
+    from theoremsearch_spark.streaming.incremental import _tombstone_artifact
+
+    out = upsert_index["out"]
+    dead = spark.read.parquet(f"{out}/gen_1/tombstones").dropDuplicates(["doc_id"])
+    mask, n, dl = _tombstone_artifact(dead)
+    pdf = dead.select("doc_id", "doc_len").toPandas()
+    assert isinstance(mask, PackedDocIdSet)
+    assert n == len(pdf) == 100
+    assert dl == int(pdf["doc_len"].sum())
+    assert (mask.decode() == np.sort(pdf["doc_id"].to_numpy())).all()
+    assert mask.nbytes < n * 8  # beats a raw int64 array, let alone Rows
+
+
 def test_compacted_generation_carries_keyindex(spark, upsert_index):
     """Compaction must rebuild the url key index over the merged docs so
     future upsert batches against the compacted root keep the

@@ -94,3 +94,58 @@ def decode_block(doc_bytes: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndar
     """Decode one posting block → (doc_ids ascending, tfs)."""
     gaps = varbyte_decode(doc_bytes)
     return np.cumsum(gaps, dtype=np.uint64), varbyte_decode(tf_bytes)
+
+
+class PackedDocIdSet:
+    """A sorted doc_id set as delta+varbyte chunks — the broadcastable
+    tombstone-mask artifact for upsert/delete serving.
+
+    Built EXECUTOR-side (streaming/incremental._tombstone_artifact):
+    each task packs its sorted ids into one chunk, so the driver only
+    ever receives ~1.2 compressed bytes per id (no Row-per-id collect —
+    at 10^8 tombstones that is ~120 MB of blobs vs ~800 MB of int64
+    Rows plus object overhead). Workers decode ONCE per executor
+    process: `decode()` memoizes, and Spark's broadcast machinery
+    caches the unpickled object per process, so repeated scorer groups
+    share the same array. At even larger churn the next step is a Bloom
+    filter with an exactness fallback — but the honest fix at that
+    point is compaction, which this mask's size pressure signals.
+    """
+
+    def __init__(self, chunks: list[bytes], n: int):
+        self.chunks = chunks
+        self.n = int(n)
+        self._arr: np.ndarray | None = None
+
+    def __getstate__(self):  # never ship a decoded array with the pickle
+        return {"chunks": self.chunks, "n": self.n}
+
+    def __setstate__(self, state):
+        self.chunks = state["chunks"]
+        self.n = state["n"]
+        self._arr = None
+
+    @property
+    def nbytes(self) -> int:
+        return sum(len(c) for c in self.chunks)
+
+    @staticmethod
+    def pack_sorted(ids: np.ndarray) -> bytes:
+        """One chunk from an ASCENDING non-negative id array."""
+        ids = np.asarray(ids, dtype=np.int64)
+        gaps = np.diff(ids, prepend=ids.dtype.type(0))  # gaps[0] = abs id
+        return varbyte_encode(gaps.astype(np.uint64))
+
+    def decode(self) -> np.ndarray:
+        """Sorted unique int64 ids; memoized per process."""
+        if self._arr is None:
+            parts = [
+                np.cumsum(varbyte_decode(c).astype(np.int64)) for c in self.chunks
+            ]
+            arr = (
+                np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            )
+            # chunk ranges may interleave (hash-partitioned build) —
+            # unique() sorts and drops cross-chunk duplicates
+            self._arr = np.unique(arr)
+        return self._arr

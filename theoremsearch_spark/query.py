@@ -495,7 +495,9 @@ def topk_frames(
     dictionary (term, term_id, df) already merged across generations.
 
     `excluded_docs`: doc_ids of tombstoned (superseded) document
-    versions — dropped at decode time inside the scorer. Callers are
+    versions — an id iterable or a `codec.PackedDocIdSet` (compressed
+    executor-built artifact) — dropped at decode time inside the
+    scorer. Callers are
     responsible for passing CORRECTED global stats (n_docs, avgdl, and
     per-term df in `tstats`) that exclude these docs; that is what
     makes upsert serving score-identical to a from-scratch build over
@@ -521,12 +523,19 @@ def topk_frames(
 
     excluded_bc = None
     if excluded_docs is not None:
-        # sorted-unique: the scorer masks via searchsorted. Bounded by
-        # upsert churn since the last compaction; at extreme churn a
-        # Bloom/roaring broadcast takes this set's place (documented).
-        xarr = np.unique(np.asarray(list(excluded_docs), dtype=np.int64))
-        if xarr.size:
-            excluded_bc = spark.sparkContext.broadcast(xarr)
+        if isinstance(excluded_docs, codec.PackedDocIdSet):
+            # compressed executor-built artifact (topk_all_generations):
+            # broadcast the ~1.2 B/id chunks; workers decode once per
+            # executor process (memoized on the broadcast-cached object)
+            if excluded_docs.n:
+                excluded_bc = spark.sparkContext.broadcast(excluded_docs)
+        else:
+            # ad-hoc id iterable: sorted-unique array, scorer masks via
+            # searchsorted. Bounded by upsert churn since the last
+            # compaction — heavy churn should compact, not grow this.
+            xarr = np.unique(np.asarray(list(excluded_docs), dtype=np.int64))
+            if xarr.size:
+                excluded_bc = spark.sparkContext.broadcast(xarr)
 
     # posting scan touches only the queried term_ids — an int64 IN-filter
     # pushed into the parquet row-group stats
@@ -534,6 +543,11 @@ def topk_frames(
     fan = _fan(spark, blocks, qterm, salt_threshold)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        excl = None
+        if excluded_bc is not None:
+            excl = excluded_bc.value
+            if isinstance(excl, codec.PackedDocIdSet):
+                excl = excl.decode()  # once per worker process (memoized)
         return _score_group(
             pdf,
             n_docs=n_docs,
@@ -542,7 +556,7 @@ def topk_frames(
             b=b,
             k=k,
             allowed_global=None if allowed_bc is None else allowed_bc.value,
-            excluded_global=None if excluded_bc is None else excluded_bc.value,
+            excluded_global=excl,
         )
 
     part = fan.groupBy("query_id", "serve_seg").applyInPandas(score, schema=_GROUP_SCHEMA)

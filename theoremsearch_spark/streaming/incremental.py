@@ -575,6 +575,43 @@ def incremental_index(
     return stream
 
 
+def _tombstone_artifact(dead: DataFrame):
+    """ONE executor-side job over the (deduped) tombstone rows →
+    (PackedDocIdSet mask | None, n_dead, doc_len sum). Each task sorts
+    its own ids and packs one delta-varbyte chunk; the driver receives
+    one compressed blob + two longs PER PARTITION — never a Row per
+    tombstone (the previous `.collect()` of (doc_id, doc_len) rows put
+    O(tombstones) through the driver at serve time)."""
+    import numpy as np
+    import pandas as pd
+
+    from theoremsearch_spark.codec import PackedDocIdSet
+
+    def pack(batches):
+        ids, dl = [], 0
+        for pdf in batches:
+            ids.append(pdf["doc_id"].to_numpy(dtype="int64"))
+            dl += int(pdf["doc_len"].sum())
+        arr = np.concatenate(ids) if ids else np.empty(0, dtype="int64")
+        if arr.size:
+            arr.sort()
+            yield pd.DataFrame(
+                {"n": [arr.size], "dl": [dl],
+                 "packed": [PackedDocIdSet.pack_sorted(arr)]}
+            )
+
+    rows = (
+        dead.select("doc_id", "doc_len")
+        .mapInPandas(pack, schema="n long, dl long, packed binary")
+        .collect()
+    )
+    n = sum(int(r["n"]) for r in rows)
+    if not n:
+        return None, 0, 0
+    mask = PackedDocIdSet([bytes(r["packed"]) for r in rows], n)
+    return mask, n, sum(int(r["dl"]) for r in rows)
+
+
 def topk_all_generations(
     spark: SparkSession, out_dir: str, queries, k: int = 10,
     filters=None, allowed_docs=None,
@@ -647,32 +684,22 @@ def topk_all_generations(
     # versions. Serving must (a) exclude those doc_ids from scoring and
     # (b) correct N, avgdl, and per-term df as if the dead docs were
     # gone — making scores IDENTICAL to a from-scratch build over the
-    # latest versions (df correction comes from the tombstones' stored
-    # distinct-term lists, restricted to the query's terms — one tiny
-    # O(1)-in-generations job). Stats in the stored per-generation
-    # doc_stats stay stale until compaction, standard LSM behavior.
-    excluded_ids = None
-    dfc: dict[str, int] = {}
+    # latest versions. The exclusion mask is built EXECUTOR-side as
+    # compressed delta-varbyte chunks (PackedDocIdSet) — no Row-per-
+    # tombstone driver collect; the per-term df correction rides the
+    # merged-term-stats job below (one job, not two). Stats in the
+    # stored per-generation doc_stats stay stale until compaction,
+    # standard LSM behavior.
+    excluded_mask = None
+    dead = None
     tomb_paths = _tombstone_paths(out_dir, tomb_gen_ids)
     if tomb_paths:
-        import numpy as np
-
         dead = spark.read.parquet(*tomb_paths).dropDuplicates(["doc_id"])
-        drows = dead.select("doc_id", "doc_len").collect()
-        if drows:
-            excluded_ids = np.array(sorted(r["doc_id"] for r in drows), dtype=np.int64)
-            dl_dead = sum(int(r["doc_len"]) for r in drows)
+        excluded_mask, n_dead, dl_dead = _tombstone_artifact(dead)
+        if n_dead:
             total_len = avgdl * n_docs - dl_dead
-            n_docs -= len(drows)
+            n_docs -= n_dead
             avgdl = total_len / max(n_docs, 1)
-            dfc = {
-                r["term"]: int(r["cnt"])
-                for r in dead.select(F.explode("terms").alias("term"))
-                .filter(F.col("term").isin(all_terms))
-                .groupBy("term")
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            }
 
     # segment-sharded serving across generations: saltedness is a
     # PER-GENERATION property (each generation salted at its own df
@@ -740,19 +767,29 @@ def topk_all_generations(
         .drop("ub_scale")
         .join(F.broadcast(salted_flags), ["gen", "term_id"])
     )
-    merged = (
-        tstats.groupBy("term", "term_id")
-        .agg(F.sum("df").alias("df"), F.max("any_salted").alias("any_salted"))
-        .toPandas()
+    merged_df = tstats.groupBy("term", "term_id").agg(
+        F.sum("df").alias("df"), F.max("any_salted").alias("any_salted")
     )
-    if dfc:
-        # scoring df excludes dead docs; the any_salted ROUTING flag
-        # keeps using the generations' own build-time df (saltedness is
-        # a physical layout property, not a statistic)
-        merged["df"] = merged["df"] - merged["term"].map(dfc).fillna(0).astype(int)
+    if excluded_mask is not None:
+        # fold the per-term dead-doc counts into the SAME job as the
+        # merged term stats (left join of two scan subtrees → one
+        # toPandas): scoring df excludes dead docs; the any_salted
+        # ROUTING flag keeps using the generations' own build-time df
+        # (saltedness is a physical layout property, not a statistic)
+        dead_counts = (
+            dead.select(F.explode("terms").alias("term"))
+            .filter(F.col("term").isin(all_terms))
+            .groupBy("term")
+            .agg(F.count("*").alias("df_dead"))
+        )
+        merged_df = merged_df.join(dead_counts, "term", "left")
+    merged = merged_df.toPandas()
+    if excluded_mask is not None:
+        merged["df"] = merged["df"] - merged["df_dead"].fillna(0).astype(int)
+        merged = merged.drop(columns=["df_dead"])
     return topk_frames(
         spark, blocks, merged, queries, n_docs=int(n_docs), avgdl=float(avgdl),
-        k1=k1, b=b, k=k, n_segments=n_segments, excluded_docs=excluded_ids,
+        k1=k1, b=b, k=k, n_segments=n_segments, excluded_docs=excluded_mask,
         filters=filters, allowed_docs=allowed_docs,
     )
 
