@@ -68,3 +68,30 @@ def test_extraction_reads_only_needed_columns(spark, corpus_df, tmp_path):
     cols = read_schema_columns(extract_docs(src))
     assert "text" not in cols, cols
     assert "html" in cols
+
+
+def test_rescore_doc_lookup_is_range_pruned(spark, index_dir):
+    """The rescore/display metadata joins look up k.Q rows — the docs
+    scan must carry a pushed doc_id range filter (docs are written
+    doc_id-ascending, so row-group stats bound the read) instead of
+    scanning the whole table."""
+    from theoremsearch_spark.query import topk_rescored, topk_with_urls
+
+    terms = [
+        r["term"]
+        for r in spark.read.parquet(f"{index_dir}/index/term_stats")
+        .orderBy(F.desc("df"))
+        .limit(4)
+        .collect()
+    ]
+    qs = pd.DataFrame(
+        {"query_id": [0, 1], "query_text": [" ".join(terms[:2]), " ".join(terms[2:])]}
+    )
+    for df in (
+        topk_rescored(spark, f"{index_dir}/index", f"{index_dir}/docs", qs, k=5),
+        topk_with_urls(spark, f"{index_dir}/index", f"{index_dir}/docs", qs, k=5),
+    ):
+        pf = pushed_filters(df)
+        assert any("doc_id" in p and ("GreaterThan" in p or ">=" in p) for p in pf), pf
+        assert any("doc_id" in p and ("LessThan" in p or "<=" in p) for p in pf), pf
+        assert df.count() > 0

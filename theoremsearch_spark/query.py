@@ -663,8 +663,8 @@ def topk_rescored(
     is the under-fill anti-pattern the reference itself warns of
     (/root/reference/app_showcase_model.py:96-129)."""
     pool = max(50, pool_factor * k)
-    hits = topk(spark, index_dir, queries, k=pool, filters=filters)
-    meta = spark.read.parquet(docs_dir).select("doc_id", weight_col)
+    hits = _localize_hits(spark, topk(spark, index_dir, queries, k=pool, filters=filters))
+    meta = _pruned_doc_meta(spark, docs_dir, hits, [weight_col])
     rescored = hits.join(meta, "doc_id").withColumn(
         "weighted_score",
         F.col("score") + F.lit(weight) * F.log(1.0 + F.col(weight_col)),
@@ -684,6 +684,31 @@ def topk_with_urls(
 ) -> DataFrame:
     """Top-k joined with doc metadata for display — the serving shape of
     /root/reference/streamlit_app.py:276-283 (ranked ids → full rows)."""
-    hits = topk(spark, index_dir, queries, k)
-    docs = spark.read.parquet(docs_dir).select("doc_id", "url", "lang", "warc_ts")
+    hits = _localize_hits(spark, topk(spark, index_dir, queries, k))
+    docs = _pruned_doc_meta(spark, docs_dir, hits, ["url", "lang", "warc_ts"])
     return hits.join(docs, "doc_id", "left").orderBy("query_id", "rank")
+
+
+def _localize_hits(spark: SparkSession, hits: DataFrame) -> DataFrame:
+    """Materialize a top-k result (k·Q rows — tiny by construction) into
+    a local relation so the metadata-join consumers can (a) derive the
+    doc_id bounds for scan pruning and (b) reuse it without re-running
+    the whole scoring pipeline."""
+    return spark.createDataFrame(hits.toPandas(), schema=TOPK_SCHEMA)
+
+
+def _pruned_doc_meta(
+    spark: SparkSession, docs_dir: str, hits: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Column-pruned docs scan restricted to the hit set's
+    [min(doc_id), max(doc_id)] range. prepare_docs writes docs
+    doc_id-ascending, so the between-filter (pushed to parquet
+    row-group statistics) bounds the scan to the file/row-group subset
+    that can contain the k·Q hits — without it, looking up a few
+    hundred rows reads every row of a 10^12-doc table. The join itself
+    still does the exact id matching; AQE broadcasts the hits side."""
+    meta = spark.read.parquet(docs_dir).select("doc_id", *cols)
+    rng = hits.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    if rng["lo"] is not None:
+        meta = meta.filter(F.col("doc_id").between(int(rng["lo"]), int(rng["hi"])))
+    return meta
