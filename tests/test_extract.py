@@ -28,6 +28,14 @@ def test_entities():
     assert extract_text(b"<p>a &lt;b&gt; &amp; c &amp;lt; &nbsp;d</p>") == 'a <b> & c &lt; d'
 
 
+def test_numeric_and_named_entity_tail():
+    """Full HTML5 reference decode: decimal, hex, and the long named
+    tail; &amp;-protected sequences stay single-pass; &nbsp; collapses
+    with surrounding whitespace."""
+    raw = b"<p>it&#8217;s &#x2019; &rsquo; 5&nbsp;&gt;&nbsp;3 &mdash; &Omega; &amp;#39;</p>"
+    assert extract_text(raw) == "it’s ’ ’ 5 > 3 — Ω &#39;"
+
+
 def test_nul_stripped():
     assert extract_text(b"<p>a\x00b</p>") == "ab"
 

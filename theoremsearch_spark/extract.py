@@ -13,8 +13,10 @@ Semantics are modeled on the reference's pure-regex text transforms:
   - NUL stripping (/root/reference/ec2/parse_arxiv_papers/plastex_method/parse.py:128-133)
   - whitespace normalization (/root/reference/ec2/parse_papers/latex_parse.py:378)
 applied to HTML instead of LaTeX: strip <!-- --> comments, drop
-<script>/<style> subtrees, strip tags, unescape the common entities,
-collapse whitespace, strip NULs.
+<script>/<style> subtrees, strip tags, decode ALL HTML character
+references (named + decimal/hex numeric, via the stdlib HTML5
+algorithm — html.unescape is single-pass, so &amp;lt; decodes to &lt;,
+never to <), collapse whitespace, strip NULs.
 
 Everything is pure Python/regex over str — no subprocess, no DOM
 library — so it vectorizes cleanly over a pd.Series inside an Arrow
@@ -23,6 +25,7 @@ batch (no per-row Python UDF, per BASELINE.json input_hint).
 
 from __future__ import annotations
 
+import html as html_module
 import re
 
 import pandas as pd
@@ -35,14 +38,6 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.DOTALL | re.IGNORECASE)
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
-_ENTITIES = [
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&nbsp;", " "),
-    ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
-]
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -70,8 +65,12 @@ def extract_text(html: bytes | None) -> str:
     s = _COMMENT_RE.sub(" ", s)
     s = _SCRIPT_STYLE_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
-    for ent, ch in _ENTITIES:
-        s = s.replace(ent, ch)
+    # full HTML5 character-reference decode (named + numeric): on real
+    # Common-Crawl HTML the numeric tail (&#8217; / &#x2019;) and the
+    # long named tail would otherwise pollute the token stream as
+    # literal "8217"/"rsquo" tokens. Single-pass (&amp;lt; → &lt;, not
+    # <); non-breaking spaces it emits collapse in the \s+ pass below.
+    s = html_module.unescape(s)
     s = _WS_RE.sub(" ", s).strip()
     return s
 

@@ -35,7 +35,7 @@ HARNESS_QUERIES = [
     (4, "table sort order part"),
 ]
 K = 10
-_INDEX_VERSION = "v3"  # bump when index layout / build inputs change
+_INDEX_VERSION = "v4"  # bump when index layout / build inputs change
 
 
 def _content_key(sf_dir: str) -> str:
@@ -279,6 +279,24 @@ def q_bm25_compacted(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _fixture_tombstones(docs):
+    """Tombstone rows for harness fixtures, derived with the SAME
+    tokenizer as the production tombstone path (tokenize() via the
+    shared UDFs) — NOT a whitespace split. The hash gates pass on this
+    corpus because its text is pre-tokenized; deriving through the
+    shared functions means a future corpus with case/punctuation makes
+    any drift between fixture and production tombstone semantics fail
+    loudly in the gate instead of silently diverging df/avgdl
+    corrections (ADVICE r3)."""
+    from theoremsearch_spark.extract import doc_len_udf, tokenize_udf
+
+    return docs.select(
+        "doc_id",
+        doc_len_udf(F.col("text")).alias("doc_len"),
+        F.array_distinct(tokenize_udf(F.col("text"))).alias("terms"),
+    )
+
+
 UPSERT_OFFSET = 100_000
 UPSERT_MOD = 7
 UPSERT_RESIDUE = 3
@@ -317,11 +335,9 @@ def _ensure_upsert_generations(spark, sf_dir: str) -> str:
             spark.read.parquet(f"{out}/gen_1/docs_offset"), f"{out}/gen_1/index",
             salt_threshold=200, n_segments=4, n_buckets=8, resume=False,
         )
-        d.filter(reingest).select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).alias("doc_len"),
-            F.array_distinct(F.split(F.col("text"), " ")).alias("terms"),
-        ).write.mode("overwrite").parquet(f"{out}/gen_1/tombstones")
+        _fixture_tombstones(d.filter(reingest)).write.mode("overwrite").parquet(
+            f"{out}/gen_1/tombstones"
+        )
         # id_end is the true high-water mark (+offset ids), NOT n0+n1 —
         # commit_generation's default would understate it and a later id
         # allocation against this root would collide with live docs
@@ -409,10 +425,8 @@ def _ensure_delete_generations(spark, sf_dir: str) -> str:
 
         _write_fullcorpus_gen0(spark, sf_dir, out)
         d = t(spark, sf_dir, "documents")
-        d.filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE).select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).alias("doc_len"),
-            F.array_distinct(F.split(F.col("text"), " ")).alias("terms"),
+        _fixture_tombstones(
+            d.filter(F.col("doc_id") % DELETE_MOD == DELETE_RESIDUE)
         ).write.mode("overwrite").parquet(f"{out}/gen_-1/tombstones")
         commit_generation(
             out, -1, base=0, n_docs=0,

@@ -236,9 +236,7 @@ def q_upsert_parquet(spark, sf_dir):  # S11: upsert-sink key semantics
         (F.col("c_custkey") + 100000).alias("c_custkey"), "c_name", "acctbal"
     )
     tdir = tempfile.mkdtemp(prefix="ts_upsert_")
-    from theoremsearch_spark.sources.sinks import _with_bucket
-
-    _with_bucket(base, "c_custkey").write.mode("overwrite").partitionBy("kb").parquet(tdir)
+    upsert_parquet(spark, tdir, base, "c_custkey")
     upsert_parquet(spark, tdir, upd.unionByName(ins), "c_custkey")
     return (
         spark.read.parquet(tdir)

@@ -1,4 +1,4 @@
-"""Sink connectors — SURVEY §2.1 S11/S12 semantics on plain parquet.
+"""Sink connectors — SURVEY §2.1 S11/S12 semantics behind one seam.
 
 The reference's write discipline is idempotent batch commits:
   S11 upsert       INSERT … ON CONFLICT DO UPDATE
@@ -6,42 +6,148 @@ The reference's write discipline is idempotent batch commits:
   S12 replace-doc  DELETE WHERE key IN (...) + insert per batch
                    (/root/reference/ec2/parse_arxiv_papers/__main__.py:269-283)
 
-On a lakehouse table these are `MERGE INTO` / dynamic-partition
-overwrite; this container has no Iceberg runtime, so the same
-semantics are implemented as deterministic partition-hash overwrite on
+On a lakehouse these are `MERGE INTO`; this container has no Iceberg
+runtime, so the DEFAULT implementation (`ParquetBucketSink`) delivers
+the same semantics as deterministic partition-hash overwrite on plain
 parquet: rows are bucketed by key hash into `kb=<n>` partitions and an
 upsert rewrites ONLY the buckets containing affected keys — bounded
 I/O, atomic per partition, which is exactly the property MERGE gives.
+
+`UpsertSink` is the seam: `IcebergMergeSink` implements the identical
+contract as a single `MERGE INTO`, gated on the Iceberg extension being
+on the session's classpath (`iceberg_available`) — a lakehouse
+deployment swaps implementations without touching any call site.
+Module-level `upsert_parquet` / `replace_documents` keep their original
+signatures as wrappers over the default sink.
 """
 
 from __future__ import annotations
+
+from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 N_KEY_BUCKETS = 64
 
 
-def _with_bucket(df: DataFrame, key: str) -> DataFrame:
-    return df.withColumn(
-        "kb", F.pmod(F.xxhash64(F.col(key)), F.lit(N_KEY_BUCKETS)).cast("int")
-    )
+class UpsertSink(ABC):
+    """S11/S12 write contract: last-writer-wins upsert by key, and
+    replace-document (delete every existing row for the incoming keys,
+    then insert the new rows — identical to upsert when the new batch
+    carries exactly one row per key, which both implementations here
+    require of their input)."""
+
+    @abstractmethod
+    def upsert(
+        self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
+    ) -> None:
+        """S11: merge `new_rows` into `table` by `key`, new rows win."""
+
+    def replace(
+        self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
+    ) -> None:
+        """S12 delete-then-insert; equals upsert for one-row-per-key
+        batches (a document's rows are fully superseded by a re-parse)."""
+        self.upsert(spark, table, new_rows, key)
+
+
+class ParquetBucketSink(UpsertSink):
+    """Default: key-hash bucket overwrite on plain parquet (no table
+    format runtime needed). Rewrites only the `kb=` partitions that
+    contain incoming keys — bounded I/O per batch, atomic per
+    partition."""
+
+    def __init__(self, n_buckets: int = N_KEY_BUCKETS):
+        self.n_buckets = int(n_buckets)
+
+    def _with_bucket(self, df: DataFrame, key: str) -> DataFrame:
+        return df.withColumn(
+            "kb", F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def upsert(
+        self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
+    ) -> None:
+        new_b = self._with_bucket(new_rows, key)
+        buckets = [r["kb"] for r in new_b.select("kb").distinct().collect()]
+        try:
+            existing = spark.read.parquet(table).filter(F.col("kb").isin(buckets))
+            merged = existing.join(
+                new_b.select(key).distinct(), key, "left_anti"
+            ).unionByName(new_b)
+        except Exception:
+            merged = new_b  # first write — table doesn't exist yet
+        # dynamic overwrite of just the affected bucket partitions
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy("kb").parquet(table)
+
+
+class IcebergMergeSink(UpsertSink):
+    """Lakehouse implementation: one atomic `MERGE INTO` per batch —
+    the direct analog of the reference's ON CONFLICT DO UPDATE
+    (/root/reference/ec2/rds/upsert.py:40-52). `table` is a catalog
+    table name (e.g. `cat.db.docs`), not a path. Requires the Iceberg
+    Spark runtime on the session classpath; constructing the sink is
+    allowed without it (so it can be configured up front), but any
+    write without the runtime raises with a clear message."""
+
+    def upsert(
+        self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
+    ) -> None:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "IcebergMergeSink requires the Iceberg Spark runtime "
+                "(iceberg-spark-runtime jar + IcebergSparkSessionExtensions); "
+                "not present in this session — use ParquetBucketSink"
+            )
+        view = f"_upsert_src_{abs(hash((table, key))) % 10**8}"
+        new_rows.createOrReplaceTempView(view)
+        cols = new_rows.columns
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+        vals = ", ".join(f"s.{c}" for c in cols)
+        spark.sql(
+            f"MERGE INTO {table} t USING {view} s ON t.{key} = s.{key} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) VALUES ({vals})"
+        )
+        spark.catalog.dropTempView(view)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg session extension is actually loadable —
+    configuration alone isn't enough (a configured-but-missing jar
+    would fail at MERGE parse time with a worse error)."""
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    if "IcebergSparkSessionExtensions" not in ext:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_sink(spark: SparkSession | None = None) -> UpsertSink:
+    """The session's best available sink: Iceberg MERGE when the
+    runtime is present, parquet bucket overwrite otherwise."""
+    if spark is not None and iceberg_available(spark):
+        return IcebergMergeSink()
+    return ParquetBucketSink()
+
+
+# ---------------------------------------------------------------------------
+# Original module-level surface (unchanged behavior, default sink)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_SINK = ParquetBucketSink()
 
 
 def upsert_parquet(spark: SparkSession, table_dir: str, new_rows: DataFrame, key: str) -> None:
     """Upsert by key: last-writer-wins per key (S11). Rewrites only the
     key-hash buckets that contain new keys."""
-    new_b = _with_bucket(new_rows, key)
-    buckets = [r["kb"] for r in new_b.select("kb").distinct().collect()]
-    try:
-        existing = spark.read.parquet(table_dir).filter(F.col("kb").isin(buckets))
-        merged = existing.join(
-            new_b.select(key).distinct(), key, "left_anti"
-        ).unionByName(new_b)
-    except Exception:
-        merged = new_b
-    # static overwrite of just the affected bucket partitions
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy("kb").parquet(table_dir)
+    _DEFAULT_SINK.upsert(spark, table_dir, new_rows, key)
 
 
 def replace_documents(
@@ -50,7 +156,7 @@ def replace_documents(
     """S12 delete-then-insert: all existing rows for the incoming keys
     are dropped, then the new rows land — replace-document semantics
     (a document's unit rows are fully superseded by a re-parse)."""
-    upsert_parquet(spark, table_dir, new_docs, key)
+    _DEFAULT_SINK.replace(spark, table_dir, new_docs, key)
 
 
 def append_jsonl(df: DataFrame, path: str) -> None:
