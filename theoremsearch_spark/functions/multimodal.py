@@ -232,9 +232,14 @@ def parse_jpeg_dims(raw: bytes) -> tuple[int, int] | None:
         if raw[pos] != 0xFF:
             return None
         marker = raw[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
             pos += 2
             continue
+        if marker in (0xDA, 0xD9):  # SOS/EOI before any SOF: no dims
+            return None
         seglen = struct.unpack(">H", raw[pos + 2 : pos + 4])[0]
         if marker in _JPEG_SOF:
             if pos + 9 > len(raw):
