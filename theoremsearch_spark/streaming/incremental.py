@@ -686,20 +686,21 @@ def topk_all_generations(
     # gone — making scores IDENTICAL to a from-scratch build over the
     # latest versions. The exclusion mask is built EXECUTOR-side as
     # compressed delta-varbyte chunks (PackedDocIdSet) — no Row-per-
-    # tombstone driver collect; the per-term df correction rides the
-    # merged-term-stats job below (one job, not two). Stats in the
-    # stored per-generation doc_stats stay stale until compaction,
-    # standard LSM behavior.
+    # tombstone driver collect. Stats in the stored per-generation
+    # doc_stats stay stale until compaction, standard LSM behavior.
+    #
+    # The three serve-time preparation jobs — exclusion artifact,
+    # per-term dead-doc counts, merged term stats — are INDEPENDENT
+    # plans, so they run as concurrent jobs (the build-side overlapped
+    # stat-jobs pattern, build.py). Folding the dead-doc counts into
+    # the term-stats job as a join was measured SLOWER (+0.7 s at the
+    # bench shape): AQE serializes the joined aggregates' stages inside
+    # one job, while two tiny jobs overlap fully on idle executor slots.
     excluded_mask = None
     dead = None
     tomb_paths = _tombstone_paths(out_dir, tomb_gen_ids)
     if tomb_paths:
         dead = spark.read.parquet(*tomb_paths).dropDuplicates(["doc_id"])
-        excluded_mask, n_dead, dl_dead = _tombstone_artifact(dead)
-        if n_dead:
-            total_len = avgdl * n_docs - dl_dead
-            n_docs -= n_dead
-            avgdl = total_len / max(n_docs, 1)
 
     # segment-sharded serving across generations: saltedness is a
     # PER-GENERATION property (each generation salted at its own df
@@ -718,14 +719,12 @@ def topk_all_generations(
     }
     n_segments = seg_moduli.pop() if len(seg_moduli) == 1 else 1
 
-    # per-generation broadcast frames: salt threshold and the block-max
-    # rescale factor (block max_tf_norm was computed with the
-    # GENERATION's avgdl; tf_norm is monotonically increasing in avgdl,
-    # bounded by the denominator ratio ≤ avgdl_merged/avgdl_gen — the
-    # scale keeps pruning sound under merged statistics)
+    # salt thresholds are pure build-time metadata — independent of the
+    # tombstone corrections, so the merged-term-stats job can launch
+    # before the artifact job finishes
     import pandas as pd  # noqa: F811 — local alias for frame building
 
-    gen_info = spark.createDataFrame(
+    salt_info = spark.createDataFrame(
         pd.DataFrame(
             {
                 "gen": list(metas),
@@ -736,9 +735,6 @@ def topk_all_generations(
                     else 2**62
                     for m in metas.values()
                 ],
-                "ub_scale": [
-                    max(1.0, avgdl / float(m["avgdl"])) for m in metas.values()
-                ],
             }
         )
     )
@@ -747,10 +743,65 @@ def topk_all_generations(
         spark.read.parquet(*[f"{out_dir}/gen_{g}/index/term_stats" for g in gen_ids])
         .withColumn("gen", gen_col)
         .filter(F.col("term").isin(all_terms))
-        .join(F.broadcast(gen_info.select("gen", "salt_threshold")), "gen")
+        .join(F.broadcast(salt_info), "gen")
         .withColumn("any_salted", F.col("df") > F.col("salt_threshold"))
     )
     salted_flags = tstats.select("gen", "term_id", F.col("any_salted").alias("is_salted"))
+    merged_plan = tstats.groupBy("term", "term_id").agg(
+        F.sum("df").alias("df"), F.max("any_salted").alias("any_salted")
+    )
+
+    # run the independent preparation jobs CONCURRENTLY (exclusion
+    # artifact, per-term dead-doc counts, merged term stats) — each is a
+    # tiny job that leaves most executor slots idle, so overlapping them
+    # collapses three job walls into ~one
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfc: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_merged = pool.submit(merged_plan.toPandas)
+        if dead is not None:
+            fut_mask = pool.submit(_tombstone_artifact, dead)
+            dead_counts_plan = (
+                dead.select(F.explode("terms").alias("term"))
+                .filter(F.col("term").isin(all_terms))
+                .groupBy("term")
+                .agg(F.count("*").alias("cnt"))
+            )
+            fut_dfc = pool.submit(dead_counts_plan.collect)
+            excluded_mask, n_dead, dl_dead = fut_mask.result()
+            if n_dead:
+                total_len = avgdl * n_docs - dl_dead
+                n_docs -= n_dead
+                avgdl = total_len / max(n_docs, 1)
+                dfc = {r["term"]: int(r["cnt"]) for r in fut_dfc.result()}
+            else:
+                fut_dfc.result()
+        merged = fut_merged.result()
+
+    if dfc:
+        # scoring df excludes dead docs; the any_salted ROUTING flag
+        # keeps using the generations' own build-time df (saltedness is
+        # a physical layout property, not a statistic)
+        merged["df"] = merged["df"] - merged["term"].map(dfc).fillna(0).astype(int)
+
+    # block-max rescale factor needs the CORRECTED avgdl (block
+    # max_tf_norm was computed with the GENERATION's avgdl; tf_norm is
+    # monotonically increasing in avgdl, bounded by the denominator
+    # ratio ≤ avgdl_serve/avgdl_gen — the scale keeps pruning sound
+    # under merged+corrected statistics), so this frame is built after
+    # the artifact job resolves; `blocks` stays lazy, evaluated only
+    # inside the scoring job
+    ub_info = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "gen": list(metas),
+                "ub_scale": [
+                    max(1.0, avgdl / float(m["avgdl"])) for m in metas.values()
+                ],
+            }
+        )
+    )
     blocks = (
         # recursiveFileLookup: the postings roots are bucket-partitioned
         # (bucket=N dirs) and multi-root partition discovery rejects
@@ -760,33 +811,13 @@ def topk_all_generations(
         spark.read.option("recursiveFileLookup", "true")
         .parquet(*[f"{out_dir}/gen_{g}/index/postings" for g in gen_ids])
         .withColumn("gen", gen_col)
-        .join(F.broadcast(gen_info.select("gen", "ub_scale")), "gen")
+        .join(F.broadcast(ub_info), "gen")
         .withColumn(
             "max_tf_norm", (F.col("max_tf_norm") * F.col("ub_scale")).cast("float")
         )
         .drop("ub_scale")
         .join(F.broadcast(salted_flags), ["gen", "term_id"])
     )
-    merged_df = tstats.groupBy("term", "term_id").agg(
-        F.sum("df").alias("df"), F.max("any_salted").alias("any_salted")
-    )
-    if excluded_mask is not None:
-        # fold the per-term dead-doc counts into the SAME job as the
-        # merged term stats (left join of two scan subtrees → one
-        # toPandas): scoring df excludes dead docs; the any_salted
-        # ROUTING flag keeps using the generations' own build-time df
-        # (saltedness is a physical layout property, not a statistic)
-        dead_counts = (
-            dead.select(F.explode("terms").alias("term"))
-            .filter(F.col("term").isin(all_terms))
-            .groupBy("term")
-            .agg(F.count("*").alias("df_dead"))
-        )
-        merged_df = merged_df.join(dead_counts, "term", "left")
-    merged = merged_df.toPandas()
-    if excluded_mask is not None:
-        merged["df"] = merged["df"] - merged["df_dead"].fillna(0).astype(int)
-        merged = merged.drop(columns=["df_dead"])
     return topk_frames(
         spark, blocks, merged, queries, n_docs=int(n_docs), avgdl=float(avgdl),
         k1=k1, b=b, k=k, n_segments=n_segments, excluded_docs=excluded_mask,
