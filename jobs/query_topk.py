@@ -43,11 +43,19 @@ def main(argv: list[str] | None = None) -> int:
         "--filter", action="append", default=[],
         help="required filter group: a filter term, or comma-separated OR terms",
     )
+    p.add_argument(
+        "--max-batch", type=int, default=0,
+        help="serve in bounded chunks of this many queries (0 = one "
+             "batch). Large batches degrade the WIDE side of a cluster "
+             "first (per-core heap is fixed while the fan working set "
+             "grows with the batch — BENCH/BASELINE.md r4); ~300 is a "
+             "good bound at the reference corpus shape",
+    )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("ts-query-topk").getOrCreate()
     from theoremsearch_spark.corpus import query_set
-    from theoremsearch_spark.query import topk, topk_with_urls
+    from theoremsearch_spark.query import topk_batched, topk_with_urls
 
     if args.synth_queries:
         qs = query_set(args.synth_queries)[["query_id", "query_text"]]
@@ -87,10 +95,13 @@ def main(argv: list[str] | None = None) -> int:
         hits = ranked.join(
             docs.select("doc_id", *meta_cols), "doc_id", "left"
         ).orderBy("query_id", F.col("rank"))
-    elif filters:
+    elif filters or args.max_batch:
         from pyspark.sql import functions as F
 
-        ranked = topk(spark, f"{args.index}/index", qs, k=args.k, filters=filters)
+        ranked = topk_batched(
+            spark, f"{args.index}/index", qs, k=args.k,
+            max_batch=args.max_batch, filters=filters or None,
+        )
         docs = spark.read.parquet(f"{args.index}/docs").select(
             "doc_id", "url", "lang", "warc_ts"
         )

@@ -271,3 +271,22 @@ def test_prepare_docs_local_relation_and_empty_partition(spark, tmp_path):
     docs2 = prepare_docs(spark.read.parquet(str(src_dir)), str(tmp_path / "fs"))
     ids2 = docs2.select("doc_id").toPandas()["doc_id"].sort_values().to_numpy()
     assert (ids2 == np.arange(300)).all()
+
+
+def test_topk_batched_identical_to_single_batch(spark, index_dir, corpus_pdf):
+    """Chunked serving (bounded co-resident working set — the wide-side
+    heap finding, BENCH r4) must be bitwise identical to one big batch:
+    scoring is per-query and global stats are batch-independent."""
+    from theoremsearch_spark.corpus import query_set
+    from theoremsearch_spark.query import topk, topk_batched
+
+    qs = query_set(len(corpus_pdf))[["query_id", "query_text"]].head(20)
+    whole = topk(spark, f"{index_dir}/index", qs, k=10).toPandas()
+    chunked = topk_batched(
+        spark, f"{index_dir}/index", qs, k=10, max_batch=7
+    ).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        whole.sort_values(key).reset_index(drop=True),
+        chunked.sort_values(key).reset_index(drop=True),
+    )

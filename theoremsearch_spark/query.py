@@ -641,6 +641,41 @@ def topk(
     )
 
 
+def topk_batched(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    *,
+    max_batch: int = 0,
+    **topk_kwargs,
+) -> DataFrame:
+    """Serve a large query batch in bounded chunks of `max_batch`
+    queries — one scoring job per chunk, chunk results (k rows/query,
+    tiny) concatenated into one local-relation DataFrame. `max_batch=0`
+    = unchunked (plain topk).
+
+    Why this exists: the scorer's fan working set (posting blocks ×
+    queries) grows linearly with the batch while per-core heap is
+    fixed, so on a PACKED executor the wide side of a cluster degrades
+    first — measured on the pinned 1→4-core protocol: N→4N serving
+    efficiency 0.805 at 292 queries vs 0.703 at 584
+    (BENCH/BASELINE.md round 4). Chunking bounds the co-resident
+    working set; chunks are independent jobs with no cross-chunk state,
+    so stragglers and retries are contained per chunk. Results are
+    bitwise identical to one big batch: scoring is per-query, global
+    stats are batch-independent."""
+    if not max_batch or len(queries) <= max_batch:
+        return topk(spark, index_dir, queries, k=k, **topk_kwargs)
+    parts = [
+        topk(
+            spark, index_dir, queries.iloc[i : i + max_batch], k=k, **topk_kwargs
+        ).toPandas()
+        for i in range(0, len(queries), max_batch)
+    ]
+    return spark.createDataFrame(pd.concat(parts, ignore_index=True), schema=TOPK_SCHEMA)
+
+
 def topk_rescored(
     spark: SparkSession,
     index_dir: str,

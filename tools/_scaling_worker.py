@@ -23,6 +23,10 @@ def main() -> int:
     p.add_argument("--documents", required=True, help="pre-generated documents parquet")
     p.add_argument("--work", required=True)
     p.add_argument("--query-mult", type=int, default=8)
+    p.add_argument(
+        "--max-batch", type=int, default=0,
+        help="serve in bounded chunks (topk_batched) — 0 = one batch",
+    )
     args = p.parse_args()
 
     from theoremsearch_spark.session import get_spark
@@ -37,7 +41,7 @@ def main() -> int:
 
     from theoremsearch_spark.build import build_index
     from theoremsearch_spark.corpus import query_set
-    from theoremsearch_spark.query import topk
+    from theoremsearch_spark.query import topk, topk_batched
     from theoremsearch_spark.stats import prepare_docs
 
     shutil.rmtree(args.work, ignore_errors=True)
@@ -85,7 +89,9 @@ def main() -> int:
     topk(spark, f"{args.work}/index", base.head(8), k=10).count()
 
     t0 = time.monotonic()
-    n = topk(spark, f"{args.work}/index", qs, k=10).count()
+    n = topk_batched(
+        spark, f"{args.work}/index", qs, k=10, max_batch=args.max_batch
+    ).count()
     query_sec = time.monotonic() - t0
 
     print(

@@ -20,7 +20,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_worker(cores: int, docs: int, documents: str, query_mult: int, pin: bool = True) -> dict:
+def run_worker(cores: int, docs: int, documents: str, query_mult: int, pin: bool = True, max_batch: int = 0) -> dict:
     # tmpfs for shuffle + work dirs: isolates the measurement from disk
     # writeback interference between runs (this box's /tmp is one shared
     # virtio disk; a real cluster has per-node local SSDs)
@@ -43,6 +43,7 @@ def run_worker(cores: int, docs: int, documents: str, query_mult: int, pin: bool
         "--documents", documents,
         "--work", work,
         "--query-mult", str(query_mult),
+        "--max-batch", str(max_batch),
     ]
     subprocess.run(["sync"], check=False)
     # hard per-worker timeout + one retry: a py4j socket hiccup can hang
@@ -69,6 +70,7 @@ def main() -> int:
     p.add_argument("--query-mult", type=int, default=8)
     p.add_argument("--reps", type=int, default=2, help="runs per level; min is kept (noisy-neighbor robust)")
     p.add_argument("--no-pin", action="store_true", help="skip taskset CPU pinning (r1 protocol)")
+    p.add_argument("--max-batch", type=int, default=0, help="bounded serve chunks (topk_batched); 0 = one batch")
     args = p.parse_args()
 
     from theoremsearch_spark.corpus import generate_documents
@@ -88,8 +90,8 @@ def main() -> int:
     # estimator of the true cost at each parallelism
     los, his = [], []
     for _ in range(args.reps):
-        his.append(run_worker(args.n4, args.docs, docs_path, args.query_mult, pin=not args.no_pin))
-        los.append(run_worker(args.n, args.docs, docs_path, args.query_mult, pin=not args.no_pin))
+        his.append(run_worker(args.n4, args.docs, docs_path, args.query_mult, pin=not args.no_pin, max_batch=args.max_batch))
+        los.append(run_worker(args.n, args.docs, docs_path, args.query_mult, pin=not args.no_pin, max_batch=args.max_batch))
 
     PHASES = ("build_sec", "prep_sec", "index_sec", "query_sec")
 
