@@ -192,3 +192,137 @@ def test_frame_sampling(spark):
     out = frame_sample_stub(df, every_n=4).toPandas()
     assert out["frame_no"].tolist() == [0, 4, 8]
     assert all(sniff_format(bytes(f)) == "synthetic" for f in out["frame"])
+
+
+def test_png_rgb_rgba_roundtrip(spark):
+    """Truecolor paths: encode→decode roundtrips for RGB8 and RGBA8;
+    extract_image_features reports true dims + a feature from the real
+    samples; resize re-emits a valid color PNG."""
+    from theoremsearch_spark.functions.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (6, 5, 4), dtype=np.uint8)
+    for img in (rgb, rgba):
+        px, c = decode_png_pixels(encode_png(img))
+        assert c == img.shape[2]
+        assert (px.reshape(img.shape) == img).all()
+
+    df = spark.createDataFrame([(1, encode_png(rgb))], "media_id long, payload binary")
+    out = extract_image_features(df).toPandas().iloc[0]
+    assert (out["format"], out["width"], out["height"]) == ("png", 13, 9)
+    assert out["feature"] is not None
+
+    small = resize_stub(df, max_side=4).toPandas()
+    px, c = decode_png_pixels(bytes(small.iloc[0]["payload"]))
+    assert c == 3 and (px.reshape(3, 5, 3) == rgb[::3, ::3]).all()
+
+
+def test_png_rgb_all_filters(spark):
+    """The per-lane unfilter must recover truecolor pixels under every
+    filter type: re-encode the _png_with_filters fixture per-channel
+    logic at bpp=3 by hand."""
+    import struct as st
+    import zlib
+
+    from theoremsearch_spark.functions.multimodal import (
+        PNG_SIG,
+        _paeth,
+        decode_png_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (7, 6, 3), dtype=np.uint8).astype(np.int64)
+    h, w, bpp = img.shape
+    flat = img.reshape(h, w * bpp)
+    scan = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        cur, f = flat[y], y % 5
+        left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+        prevleft = np.concatenate((np.zeros(bpp, np.int64), prev[:-bpp]))
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            filt = np.array(
+                [cur[x] - _paeth(int(left[x]), int(prev[x]), int(prevleft[x])) for x in range(w * bpp)]
+            )
+        scan.append(f)
+        scan.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, payload):
+        return st.pack(">I", len(payload)) + ctype + payload + st.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+
+    raw = (
+        PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    px, c = decode_png_pixels(raw)
+    assert c == 3 and (px.reshape(h, w, bpp) == img).all()
+
+
+def test_webp_dims(spark):
+    import struct as st
+
+    from theoremsearch_spark.functions.multimodal import parse_webp_dims
+
+    def riff(body):
+        return b"RIFF" + st.pack("<I", len(body) + 4) + b"WEBP" + body
+
+    bits = (800 - 1) | ((600 - 1) << 14)
+    vp8l = riff(b"VP8L" + st.pack("<I", 5) + bytes([0x2F]) + st.pack("<I", bits))
+    assert parse_webp_dims(vp8l) == (800, 600)
+    vp8x = riff(b"VP8X" + st.pack("<I", 10) + b"\x00" * 4 + (319).to_bytes(3, "little") + (239).to_bytes(3, "little"))
+    assert parse_webp_dims(vp8x) == (320, 240)
+    vp8 = riff(
+        b"VP8 " + st.pack("<I", 10) + b"\x00\x00\x00" + b"\x9d\x01\x2a" + st.pack("<HH", 64, 48)
+    )
+    assert parse_webp_dims(vp8) == (64, 48)
+    # decode_image surfaces webp with dims
+    from theoremsearch_spark.functions.multimodal import decode_image
+
+    fmt, w, h, px, c = decode_image(vp8l)
+    assert (fmt, w, h, px) == ("webp", 800, 600, None)
+
+
+def test_wav_pcm16_features(spark):
+    """Real audio path: a 440 Hz sine at amplitude 0.5 must read back
+    RMS ≈ 0.5/√2 and ZCR ≈ 2·f/sr; stereo second channel ignored."""
+    from theoremsearch_spark.functions.multimodal import (
+        encode_wav_pcm16,
+        extract_audio_features,
+        parse_wav_header,
+    )
+
+    sr, f, dur = 8000, 440, 1.0
+    t = np.arange(int(sr * dur)) / sr
+    x = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype(np.int16)
+    stereo = np.stack([x, np.zeros_like(x)], axis=1)
+    raw = encode_wav_pcm16(stereo, sr)
+    hdr = parse_wav_header(raw)
+    assert (hdr["channels"], hdr["sample_rate"], hdr["bits"]) == (2, 8000, 16)
+
+    df = spark.createDataFrame(
+        [(1, raw), (2, b"RIFF\x08\x00\x00\x00AVI " ), (3, b"not audio")],
+        "media_id long, payload binary",
+    )
+    out = extract_audio_features(df).toPandas().set_index("media_id")
+    r = out.loc[1]
+    assert r["format"] == "wav" and r["n_samples"] == sr
+    assert abs(r["duration_sec"] - 1.0) < 1e-9
+    assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(r["zero_cross_rate"] - 2 * f / sr) < 0.01
+    assert out.loc[2]["format"] == "riff" and out.loc[2]["rms"] is None or np.isnan(out.loc[2]["rms"])
+    assert out.loc[3]["format"] is None
