@@ -275,6 +275,59 @@ def q_window_tumbling_agg(spark, sf_dir):  # streaming primitive, batch-checked
 MEDIA_DOCS = 200
 
 
+AUDIO_ROWS = 40
+AUDIO_BASE_N = 4000
+AUDIO_SR = 8000
+
+
+def q_multimodal_audio_meta(spark, sf_dir):
+    """Audio driver-gate row: build REAL PCM16 WAV payloads whose
+    samples follow a closed form (x_i = (((i·31 + mid·7) mod 256) − 128)
+    · 256, mono, 8 kHz, n = 4000 + mid), run the real WAV decode +
+    feature pipeline (functions/multimodal.extract_audio_features), and
+    return format/channels/rate/count/RMS/ZCR. The oracle recomputes
+    RMS and zero-crossing rate from the SAME closed form in pure SQL —
+    a hash match proves fmt-chunk walk, PCM frombuffer decode, and the
+    signal features end-to-end against an implementation that never
+    touches the bytes. Float-exactness: every sample is k/128 with
+    |k| ≤ 128, so x² sums are exact dyadic rationals (< 2^53) in both
+    engines regardless of summation order — the 6-decimal rounds can't
+    straddle."""
+    import numpy as np
+
+    from theoremsearch_spark.functions.multimodal import (
+        encode_wav_pcm16,
+        extract_audio_features,
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def gen_wav(mid: pd.Series) -> pd.Series:
+        out = []
+        for m in mid:
+            m = int(m)
+            i = np.arange(AUDIO_BASE_N + m, dtype=np.int64)
+            pcm = ((((i * 31 + m * 7) % 256) - 128) * 256).astype(np.int16)
+            out.append(encode_wav_pcm16(pcm, AUDIO_SR))
+        return pd.Series(out)
+
+    d = t(spark, sf_dir, "documents")
+    media = (
+        d.filter(F.col("doc_id") < AUDIO_ROWS)
+        .select(F.col("doc_id").alias("media_id"))
+        .withColumn("payload", gen_wav("media_id"))
+    )
+    feats = extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "format",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_cross_rate", 6).alias("zcr"),
+    ).orderBy("media_id")
+
+
 def q_multimodal_image_meta(spark, sf_dir):
     """Multimodal driver-gate row: synthesize a deterministic media
     table from `documents` (payload = make_oracle_image — a pattern
@@ -350,6 +403,7 @@ def _multimodal_oracle() -> str:
 QUERIES = {
     "filter_notnull": q_filter_notnull,
     "multimodal_image_meta": q_multimodal_image_meta,
+    "multimodal_audio_meta": q_multimodal_audio_meta,
     "type_whitelist": q_type_whitelist,
     "window_tumbling_agg": q_window_tumbling_agg,
     "map_union": q_map_union,
@@ -360,6 +414,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_audio_meta": f"""
+        WITH m AS (
+            SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents
+            WHERE doc_id < {AUDIO_ROWS}
+        ),
+        s AS (
+            SELECT m.media_id, t.i,
+                   CAST((((t.i * 31 + m.media_id * 7) % 256) - 128) * 256 AS DOUBLE)
+                       / 32768.0 AS x
+            FROM m, range(0, {AUDIO_BASE_N + AUDIO_ROWS}) t(i)
+            WHERE t.i < {AUDIO_BASE_N} + m.media_id
+        ),
+        w AS (
+            SELECT media_id, i, x,
+                   lag(x) OVER (PARTITION BY media_id ORDER BY i) AS px
+            FROM s
+        )
+        SELECT media_id,
+               'wav' AS format,
+               CAST(1 AS INTEGER) AS channels,
+               CAST({AUDIO_SR} AS INTEGER) AS sample_rate,
+               COUNT(*) AS n_samples,
+               round(sqrt(avg(x * x)), 6) AS rms,
+               round(CAST(sum(CASE WHEN px IS NOT NULL AND ((x < 0) <> (px < 0))
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / (COUNT(*) - 1), 6) AS zcr
+        FROM w GROUP BY media_id ORDER BY media_id
+    """,
     "type_whitelist": """
         SELECT string_split(lower(p_type), ' ')[1] AS type_head, count(*) AS n
         FROM part
