@@ -121,3 +121,21 @@ def test_sink_seam_dispatch(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="Iceberg"):
         IcebergMergeSink().upsert(spark, "cat.db.t", v1, "k")
+
+
+def test_append_jsonl_roundtrip(spark, tmp_path):
+    """S13: JSONL sink writes valid line-delimited JSON that reads back
+    row-identical, and append mode accumulates."""
+    from theoremsearch_spark.sources.sinks import append_jsonl
+
+    d = str(tmp_path / "jsonl_out")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -0.25)], "k long, s string, v double"
+    )
+    append_jsonl(df, d)
+    back = spark.read.json(d)
+    assert {(r["k"], r["s"], r["v"]) for r in back.collect()} == {
+        (1, "a", 1.5), (2, "b", -0.25)
+    }
+    append_jsonl(df.filter("k = 1"), d)
+    assert spark.read.json(d).count() == 3
