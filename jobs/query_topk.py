@@ -84,12 +84,18 @@ def main(argv: list[str] | None = None) -> int:
             topk_all_generations,
         )
 
-        ranked = topk_all_generations(
-            spark, args.gens, qs, k=args.k, filters=filters or None
+        from theoremsearch_spark.query import _localize_hits
+
+        ranked = _localize_hits(
+            spark,
+            topk_all_generations(
+                spark, args.gens, qs, k=args.k, filters=filters or None
+            ),
         )
         # same output schema as the --index branches: ranked ids joined
         # back to document metadata (whatever columns the root's docs
-        # tables carry)
+        # tables carry); per-generation docs are doc_id-ascending, so
+        # the hit-range filter prunes row groups in every generation
         docs = spark.read.parquet(
             *[
                 _docs_path(args.gens, g["gen"])
@@ -97,6 +103,11 @@ def main(argv: list[str] | None = None) -> int:
                 if not g.get("delete_only")
             ]
         )
+        rng = ranked.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if rng["lo"] is not None:
+            docs = docs.filter(F.col("doc_id").between(int(rng["lo"]), int(rng["hi"])))
         meta_cols = [c for c in ("url", "lang", "warc_ts") if c in docs.columns]
         hits = ranked.join(
             docs.select("doc_id", *meta_cols), "doc_id", "left"
@@ -104,12 +115,19 @@ def main(argv: list[str] | None = None) -> int:
     elif filters or args.max_batch:
         from pyspark.sql import functions as F
 
-        ranked = topk_batched(
-            spark, f"{args.index}/index", qs, k=args.k,
-            max_batch=args.max_batch, filters=filters or None,
+        from theoremsearch_spark.query import _localize_hits, _pruned_doc_meta
+
+        ranked = _localize_hits(
+            spark,
+            topk_batched(
+                spark, f"{args.index}/index", qs, k=args.k,
+                max_batch=args.max_batch, filters=filters or None,
+            ),
         )
-        docs = spark.read.parquet(f"{args.index}/docs").select(
-            "doc_id", "url", "lang", "warc_ts"
+        # doc_id-range-pruned metadata lookup — the same scan bound the
+        # no-filter path gets via topk_with_urls
+        docs = _pruned_doc_meta(
+            spark, f"{args.index}/docs", ranked, ["url", "lang", "warc_ts"]
         )
         hits = ranked.join(docs, "doc_id", "left").orderBy("query_id", F.col("rank"))
     else:

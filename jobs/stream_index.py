@@ -87,7 +87,9 @@ def main(argv: list[str] | None = None) -> int:
         # For a glob input the landing dir is the glob's parent directory
         # (os.path.dirname), not input.rstrip('/*') — that rule turned
         # 'dir/*.parquet' into a literal 'dir/*.parquet' landing path.
-        land = os.path.dirname(args.input) if is_glob else args.input.rstrip("/")
+        # `or "."`: dirname of a bare relative glob ('batch_*.parquet')
+        # is '' — without the fallback the batch would land at '/...'
+        land = (os.path.dirname(args.input) or ".") if is_glob else args.input.rstrip("/")
         batch_no = 0
         while os.path.exists(f"{land}/synth_batch_{batch_no}"):
             batch_no += 1

@@ -457,6 +457,28 @@ def test_upsert_ingest_reads_only_url_buckets(spark, upsert_index):
     assert set(got.columns) == {"doc_id", "url", "doc_len", "terms"}
 
 
+def test_delete_never_ingested_url_is_noop(spark, upsert_index):
+    """Deleting a url that was never ingested must be a clean no-op on
+    a keyindexed root — even when the url hashes to a bucket dir no
+    generation materialized (review r4: that case crashed with a
+    misleading 'only delete-only generations' error, and behavior
+    depended on which bucket the url hashed to)."""
+    import shutil
+
+    from theoremsearch_spark.streaming.incremental import delete_documents
+
+    out = upsert_index["out"]
+    work = str(spark.conf.get("spark.local.dir", "/tmp"))
+    copy = f"{work}/delete_noop_copy"
+    shutil.rmtree(copy, ignore_errors=True)
+    shutil.copytree(out, copy)
+    # many urls → they cover present AND absent bucket dirs
+    urls = [f"https://never.example/doc{i}" for i in range(128)]
+    res = delete_documents(spark, copy, urls)
+    assert res == {"generation": None, "deleted": 0}
+    shutil.rmtree(copy, ignore_errors=True)
+
+
 def test_tombstone_artifact_is_executor_packed(spark, upsert_index):
     """The serve-time exclusion mask must arrive as compressed
     executor-packed chunks (PackedDocIdSet), decode to exactly the

@@ -186,33 +186,39 @@ def decode_png_pixels(raw: bytes) -> tuple[np.ndarray, int] | None:
         return None
     rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = rows[:, 0]
-    out = np.zeros((h, stride), dtype=np.int64)
-    prev = np.zeros((w, bpp), dtype=np.int64)  # prior row, (pixel, lane)
+    # the whole-image buffer stays uint8 (1 byte/sample — a 100 MP RGB
+    # crawl image is ~300 MB, not the 2.4 GB an int64 matrix would
+    # cost inside an Arrow batch); only the CURRENT row is widened to
+    # int32 for the predictor arithmetic (max intermediate 255+255;
+    # the sub-filter cumsum widens to int64 for one row at a time —
+    # a pathological 2^23-pixel row would overflow int32 sums)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros((w, bpp), dtype=np.int32)  # prior row, (pixel, lane)
     for y in range(h):
         f = int(ftypes[y])
-        cur = rows[y, 1:].astype(np.int64).reshape(w, bpp)
+        cur = rows[y, 1:].astype(np.int32).reshape(w, bpp)
         if f == 0:
             rec = cur
         elif f == 1:  # sub — per-lane cumsum over the pixel axis
-            rec = np.cumsum(cur, axis=0) % 256
+            rec = (np.cumsum(cur, axis=0, dtype=np.int64) % 256).astype(np.int32)
         elif f == 2:  # up
             rec = (cur + prev) % 256
         elif f == 3:  # average
-            rec = cur.copy()
+            rec = cur
             rec[0] = (rec[0] + prev[0] // 2) % 256
             for i in range(1, w):
                 rec[i] = (rec[i] + (rec[i - 1] + prev[i]) // 2) % 256
         elif f == 4:  # paeth — vectorized across lanes per pixel step
-            rec = cur.copy()
-            zero = np.zeros(bpp, dtype=np.int64)
+            rec = cur
+            zero = np.zeros(bpp, dtype=np.int32)
             rec[0] = (rec[0] + _paeth_vec(zero, prev[0], zero)) % 256
             for i in range(1, w):
                 rec[i] = (rec[i] + _paeth_vec(rec[i - 1], prev[i], prev[i - 1])) % 256
         else:
             return None
-        out[y] = rec.ravel()
+        out[y] = rec.ravel()  # values already in [0, 256) — narrowing is safe
         prev = rec
-    return out.astype(np.uint8).ravel(), bpp
+    return out.ravel(), bpp
 
 
 def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:

@@ -13,10 +13,12 @@ parquet: rows are bucketed by key hash into `kb=<n>` partitions and an
 upsert rewrites ONLY the buckets containing affected keys — bounded
 I/O, atomic per partition, which is exactly the property MERGE gives.
 
-`UpsertSink` is the seam: `IcebergMergeSink` implements the identical
-contract as a single `MERGE INTO`, gated on the Iceberg extension being
-on the session's classpath (`iceberg_available`) — a lakehouse
-deployment swaps implementations without touching any call site.
+`UpsertSink` is the seam: `IcebergMergeSink` implements the same
+contract — upsert as a single `MERGE INTO`, replace as literal
+DELETE-then-INSERT (MERGE cannot express multi-row-per-key
+replacement) — gated on the Iceberg extension being on the session's
+classpath (`iceberg_available`); a lakehouse deployment swaps
+implementations without touching any call site.
 Module-level `upsert_parquet` / `replace_documents` keep their original
 signatures as wrappers over the default sink.
 """
@@ -41,13 +43,18 @@ class UpsertSink(ABC):
     def upsert(
         self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
     ) -> None:
-        """S11: merge `new_rows` into `table` by `key`, new rows win."""
+        """S11: merge `new_rows` into `table` by `key`, new rows win.
+        Input batches must carry one row per key (MERGE semantics)."""
 
     def replace(
         self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
     ) -> None:
-        """S12 delete-then-insert; equals upsert for one-row-per-key
-        batches (a document's rows are fully superseded by a re-parse)."""
+        """S12 delete-then-insert: EVERY existing row for the incoming
+        keys is dropped, then all batch rows land — multi-row-per-key
+        tables supported (a document's unit rows are fully superseded
+        by a re-parse). Default delegates to upsert, which is identical
+        when both table and batch hold one row per key; implementations
+        whose upsert can't express the multi-row case override this."""
         self.upsert(spark, table, new_rows, key)
 
 
@@ -83,34 +90,76 @@ class ParquetBucketSink(UpsertSink):
 
 
 class IcebergMergeSink(UpsertSink):
-    """Lakehouse implementation: one atomic `MERGE INTO` per batch —
-    the direct analog of the reference's ON CONFLICT DO UPDATE
-    (/root/reference/ec2/rds/upsert.py:40-52). `table` is a catalog
-    table name (e.g. `cat.db.docs`), not a path. Requires the Iceberg
-    Spark runtime on the session classpath; constructing the sink is
-    allowed without it (so it can be configured up front), but any
-    write without the runtime raises with a clear message."""
+    """Lakehouse implementation. `table` is a catalog table name (e.g.
+    `cat.db.docs`), not a path. Requires the Iceberg Spark runtime on
+    the session classpath; constructing the sink is allowed without it
+    (so it can be configured up front), but any write without the
+    runtime raises with a clear message.
 
-    def upsert(
-        self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
-    ) -> None:
+    S11 upsert = one atomic `MERGE INTO` — the direct analog of the
+    reference's ON CONFLICT DO UPDATE
+    (/root/reference/ec2/rds/upsert.py:40-52). MERGE requires ONE
+    source row per key (multiple matches are a runtime error), so it
+    cannot express replace-document for multi-row keys — S12 replace
+    is therefore implemented literally as the reference's
+    DELETE WHERE key IN (batch) + INSERT
+    (/root/reference/ec2/parse_arxiv_papers/__main__.py:269-283),
+    matching ParquetBucketSink's drop-all-rows-for-incoming-keys
+    semantics exactly."""
+
+    @staticmethod
+    def _require_runtime(spark: SparkSession) -> None:
         if not iceberg_available(spark):
             raise RuntimeError(
                 "IcebergMergeSink requires the Iceberg Spark runtime "
                 "(iceberg-spark-runtime jar + IcebergSparkSessionExtensions); "
                 "not present in this session — use ParquetBucketSink"
             )
-        view = f"_upsert_src_{abs(hash((table, key))) % 10**8}"
-        new_rows.createOrReplaceTempView(view)
+
+    @staticmethod
+    def _with_source_view(new_rows: DataFrame):
+        """Unique-per-call temp view (uuid, not hash — process-salted
+        hash() collides under concurrent upserts) dropped in finally."""
+        import contextlib
+        import uuid
+
+        @contextlib.contextmanager
+        def cm():
+            view = f"_upsert_src_{uuid.uuid4().hex}"
+            new_rows.createOrReplaceTempView(view)
+            try:
+                yield view
+            finally:
+                new_rows.sparkSession.catalog.dropTempView(view)
+
+        return cm()
+
+    def upsert(
+        self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
+    ) -> None:
+        self._require_runtime(spark)
+        q = "`{}`".format  # backtick-quote identifiers
         cols = new_rows.columns
-        sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
-        vals = ", ".join(f"s.{c}" for c in cols)
-        spark.sql(
-            f"MERGE INTO {table} t USING {view} s ON t.{key} = s.{key} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({', '.join(cols)}) VALUES ({vals})"
-        )
-        spark.catalog.dropTempView(view)
+        sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in cols if c != key)
+        vals = ", ".join(f"s.{q(c)}" for c in cols)
+        with self._with_source_view(new_rows) as view:
+            spark.sql(
+                f"MERGE INTO {table} t USING {view} s ON t.{q(key)} = s.{q(key)} "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT ({', '.join(q(c) for c in cols)}) "
+                f"VALUES ({vals})"
+            )
+
+    def replace(
+        self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
+    ) -> None:
+        self._require_runtime(spark)
+        q = "`{}`".format
+        with self._with_source_view(new_rows) as view:
+            spark.sql(
+                f"DELETE FROM {table} WHERE {q(key)} IN (SELECT {q(key)} FROM {view})"
+            )
+            spark.sql(f"INSERT INTO {table} SELECT * FROM {view}")
 
 
 def iceberg_available(spark: SparkSession) -> bool:

@@ -131,8 +131,13 @@ def _prior_version_rows(
     index are read via exactly the `ub=` bucket dirs the batch's urls
     hash into (partition-level pruning, no docs-table access);
     generations without one (hand-built roots, pre-keyindex manifests)
-    fall back to the column-pruned docs scan. Returns None when there
-    are no prior index generations."""
+    fall back to the column-pruned docs scan. Returns None ONLY when
+    there are no prior index generations; "live generations exist but
+    none of the requested urls' hash buckets are on disk" is a valid
+    EMPTY result (a small generation materializes only the ub= dirs its
+    urls fall in), not an error — conflating the two made deletes of
+    never-ingested urls crash or succeed depending on which bucket the
+    url hashed to."""
     import os
 
     live = [g for g in gens if not g.get("delete_only")]
@@ -174,7 +179,9 @@ def _prior_version_rows(
         )
         parts.append(_tombstone_rows(old.join(F.broadcast(urls_df), "url")))
     if not parts:
-        return None
+        return spark.createDataFrame(
+            [], "doc_id long, url string, doc_len int, terms array<string>"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
