@@ -51,7 +51,19 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    only = set(sys.argv[1:])
+    # entry names as bare args and/or comma lists; a legacy `--only`
+    # flag token is ignored (it used to enter the match set, making
+    # `--only a,b` silently select nothing)
+    only = {
+        name
+        for arg in sys.argv[1:]
+        if arg != "--only"
+        for name in arg.split(",")
+        if name
+    }
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown queries() entries: {sorted(unknown)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
