@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import shutil
 import sys
 import time
 
@@ -61,12 +60,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-threshold", type=int, default=50_000)
     p.add_argument(
         "--delete-old", action="store_true",
-        help="after the atomic manifest swap, delete superseded gen dirs",
+        help="after the atomic manifest swap, vacuum superseded gen dirs "
+        "immediately (no reader grace window — use jobs/vacuum_index.py "
+        "with --min-age for deferred reclaim)",
     )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("ts-compact-index").getOrCreate()
-    from theoremsearch_spark.streaming.incremental import compact_generations
+    from theoremsearch_spark.streaming.incremental import (
+        compact_generations,
+        vacuum_generations,
+    )
 
     t0 = time.monotonic()
     res = compact_generations(
@@ -79,8 +83,9 @@ def main(argv: list[str] | None = None) -> int:
         salt_threshold=args.salt_threshold,
     )
     if args.delete_old and res.get("compacted"):
-        for g in res["replaced"]:
-            shutil.rmtree(f"{args.root}/gen_{g}", ignore_errors=True)
+        # manifest-driven (only `replaces`-listed dirs, records kept) —
+        # same safety contract as the standalone vacuum job
+        res["vacuum"] = vacuum_generations(args.root)
     out = {"job": "compact_index", **res, "wall_sec": round(time.monotonic() - t0, 2)}
     print(json.dumps(out))
     spark.stop()

@@ -49,7 +49,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("ts-prepare-training-data").getOrCreate()
     from theoremsearch_spark.corpus import generate_documents
-    from theoremsearch_spark.functions.dedup import minhash_lsh_pairs
+    from theoremsearch_spark.functions.dedup import (
+        dedup_cluster_labels,
+        minhash_lsh_pairs,
+    )
     from theoremsearch_spark.stats import prepare_docs
 
     t0 = time.monotonic()
@@ -103,14 +106,20 @@ def main(argv: list[str] | None = None) -> int:
     exact = spark.read.parquet(f"{args.out}/exact_dedup")
     counts["after_exact_dedup"] = exact.count()
 
-    # near dedup: MinHash+LSH candidates, exact-Jaccard verified; keep
-    # the earlier doc of each near-dup pair (transitively: drop any doc
-    # that is the LATER member of a pair — deterministic, one pass)
+    # near dedup: MinHash+LSH candidates, exact-Jaccard verified, then
+    # CLUSTER-CANONICAL dropping: connected components over the pair
+    # graph, keep the min-doc_id doc of each component. Dropping every
+    # later pair member instead would over-drop chains (A~B, B~C, A!~C
+    # keeps only A; boilerplate chains are long at web scale).
     pairs = minhash_lsh_pairs(
         exact.select("doc_id", F.col("extracted_text").alias("text")),
         threshold=args.near_dup_threshold,
     )
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    drop = (
+        dedup_cluster_labels(pairs)
+        .filter(F.col("doc_id") != F.col("canon"))
+        .select("doc_id")
+    )
     clean = exact.join(drop, "doc_id", "left_anti")
     clean.write.mode("overwrite").parquet(f"{args.out}/clean")
     clean = spark.read.parquet(f"{args.out}/clean")

@@ -68,12 +68,6 @@ def main(argv: list[str] | None = None) -> int:
         p.error("exactly one of --index / --gens is required")
     filters = [g.split(",") if "," in g else g for g in args.filter]
 
-    if args.gens and args.max_batch:
-        # chunking the multi-generation path would redo the tombstone
-        # artifact + merged-stats jobs per chunk; refuse rather than
-        # silently ignore the flag
-        p.error("--max-batch applies to --index serving only")
-
     t0 = time.monotonic()
     if args.gens:
         from pyspark.sql import functions as F
@@ -89,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
         ranked = _localize_hits(
             spark,
             topk_all_generations(
-                spark, args.gens, qs, k=args.k, filters=filters or None
+                spark, args.gens, qs, k=args.k, filters=filters or None,
+                max_batch=args.max_batch,
             ),
         )
         # same output schema as the --index branches: ranked ids joined

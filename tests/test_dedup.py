@@ -282,3 +282,33 @@ def test_bucket_pairs_streams_large_bucket(spark):
         F.sum(F.when(F.col("doc_a") < F.col("doc_b"), 0).otherwise(1)).alias("bad"),
     ).collect()[0]
     assert (agg["a0"], agg["b1"], agg["bad"]) == (0, n - 1, 0)
+
+
+def test_dedup_cluster_labels_chain_and_components(spark):
+    """Cluster-canonical policy: a chain A~B, B~C (A!~C) is ONE
+    component — exactly {A} survives of the chain (canon == min id) —
+    while unrelated docs never enter the labeling at all. A second
+    disjoint component and a long chain (pointer-jump convergence past
+    naive-propagation depth) are labeled correctly too."""
+    from theoremsearch_spark.functions.dedup import dedup_cluster_labels
+
+    # chain 1-2-3; component {10, 11}; long chain 100..120 (depth 20)
+    pairs = pd.DataFrame(
+        {"doc_a": [1, 2, 10] + list(range(100, 120)),
+         "doc_b": [2, 3, 11] + list(range(101, 121))}
+    )
+    labels = (
+        dedup_cluster_labels(spark.createDataFrame(pairs), max_iter=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(labels["doc_id"], labels["canon"]))
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert all(got[d] == 100 for d in range(100, 121))
+    # only pair members are labeled — singletons stay out of the shuffle
+    assert set(labels["doc_id"]) == {1, 2, 3, 10, 11} | set(range(100, 121))
+    # survivors = canon rows: exactly {1}, {10}, {100} per component
+    survivors = set(labels[labels["doc_id"] == labels["canon"]]["doc_id"])
+    assert survivors == {1, 10, 100}

@@ -1124,3 +1124,98 @@ def test_compact_generations_preserves_ranking(spark, stream_index):
         df_.reset_index(drop=True, inplace=True)
     pd.testing.assert_frame_equal(before, after)
     shutil.rmtree(copy, ignore_errors=True)
+
+
+def test_multi_generation_chunked_serving_identical(spark, upsert_index):
+    """topk_all_generations(max_batch=...) — the wide-side bounded-batch
+    fix extended to streamed roots: (a) chunked results are bitwise
+    identical to unchunked serving (scoring is per-query; global stats
+    are batch-independent), and (b) the serve-time preparation jobs
+    (tombstone artifact, dead-doc counts, merged term stats, meta
+    collect — >=4 Spark jobs) run ONCE, not once per chunk: the
+    marginal job cost of an extra chunk is the scoring job alone."""
+    out = upsert_index["out"]
+    qs = query_set(1000)[["query_id", "query_text"]].head(16)
+    sc = spark.sparkContext
+
+    def run(tag, **kw):
+        sc.setJobGroup(tag, tag)
+        try:
+            res = (
+                topk_all_generations(spark, out, qs, k=10, **kw)
+                .toPandas()
+                .sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return res, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    full, _ = run("mg_unchunked")
+    two, j2 = run("mg_2chunks", max_batch=8)   # 16 queries -> 2 chunks
+    four, j4 = run("mg_4chunks", max_batch=4)  # -> 4 chunks
+    pd.testing.assert_frame_equal(full, two)
+    pd.testing.assert_frame_equal(full, four)
+    # job-count lock: with shared prep, J(c) = P + c*s (P = prep jobs,
+    # s = scoring jobs per chunk), so the intercept P = 2*j2 - j4 must
+    # carry the >=4 preparation jobs (meta collect, merged term stats,
+    # tombstone artifact, dead-doc counts). If prep re-ran per chunk,
+    # J(c) = c*(P+s) + t and the intercept collapses to the tiny final
+    # local-relation collect t (~0-2 jobs).
+    intercept = 2 * j2 - j4
+    assert intercept >= 4, f"prep jobs not shared across chunks (j2={j2}, j4={j4})"
+
+
+def test_vacuum_reclaims_superseded_generations(spark, stream_index):
+    """stream -> compact -> vacuum: superseded gen_*/ dirs are deleted
+    (bytes actually reclaimed), the manifest RECORDS survive so an
+    at-least-once replay of a compacted-away micro-batch still hits the
+    raw-manifest idempotency skip, serving stays bitwise identical, the
+    grace window defers deletion, and re-vacuuming is a no-op."""
+    import os
+    import shutil
+
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        _raw_generations,
+        compact_generations,
+        vacuum_generations,
+    )
+
+    out = stream_index["out"]
+    work = str(spark.conf.get("spark.local.dir", "/tmp"))
+    copy = f"{work}/vacuum_copy"
+    shutil.rmtree(copy, ignore_errors=True)
+    shutil.copytree(out, copy)
+
+    qs = query_set(N_DOCS)[["query_id", "query_text"]].head(15)
+    before = topk_all_generations(spark, copy, qs, k=10).toPandas()
+    res = compact_generations(spark, copy, salt_threshold=400, n_segments=4, n_buckets=8)
+    assert res["compacted"] and sorted(res["replaced"]) == [0, 1]
+
+    # grace window: superseding manifest is seconds old -> nothing dies
+    young = vacuum_generations(copy, min_age_seconds=3600)
+    assert young["vacuumed"] == [] and sorted(young["kept_young"]) == [0, 1]
+    assert os.path.isdir(f"{copy}/gen_0") and os.path.isdir(f"{copy}/gen_1")
+
+    v = vacuum_generations(copy)
+    assert sorted(v["vacuumed"]) == [0, 1] and v["bytes_freed"] > 0
+    assert not os.path.exists(f"{copy}/gen_0")
+    assert not os.path.exists(f"{copy}/gen_1")
+    assert os.path.isdir(f"{copy}/gen_{res['generation']}")
+
+    # manifest records intact: replay idempotency + live view unchanged
+    assert {0, 1, res["generation"]} <= {g["gen"] for g in _raw_generations(copy)}
+    assert [g["gen"] for g in _generations(spark, copy)] == [res["generation"]]
+
+    after = topk_all_generations(spark, copy, qs, k=10).toPandas()
+    for df_ in (before, after):
+        df_.sort_values(["query_id", "rank"], inplace=True)
+        df_.reset_index(drop=True, inplace=True)
+    pd.testing.assert_frame_equal(before, after)
+
+    # idempotent re-vacuum
+    assert vacuum_generations(copy) == {
+        "vacuumed": [], "kept_young": [], "bytes_freed": 0
+    }
+    shutil.rmtree(copy, ignore_errors=True)

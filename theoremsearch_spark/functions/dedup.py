@@ -408,10 +408,93 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(t(spark, sf_dir, "documents"))
 
 
+def dedup_cluster_labels(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, canon) with
+    canon = min doc_id of the component. The cluster-canonical drop
+    policy: for a chain A~B, B~C (A≁C) exactly {B, C} are dropped —
+    unlike drop-every-later-pair-member, which drops B twice over and
+    keeps only A out of {A,B,C} *while also* over-dropping C when C's
+    only relation is to the already-dropped B. At web scale boilerplate
+    chains are long, so keep-one-per-component keeps materially more
+    unique text.
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    (a) relaxes labels across edges (label(v) ← min of v's and its
+    neighbors' labels) and (b) contracts pointer chains
+    (label(v) ← label(label(v))), so a chain of length L converges in
+    O(log L) rounds, not O(L) — bounded Spark jobs even for degenerate
+    boilerplate chains. Each round is two key-shuffles of (id, id)
+    rows; lineage is truncated per round (localCheckpoint) so the plan
+    does not grow with iterations. Only docs that appear in a pair are
+    labeled — singleton docs are trivially their own canon and never
+    enter the shuffle."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # (a) edge relax: min over own + neighbors' labels
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("dl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dl").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        relaxed = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        # (b) pointer jump: label(v) <- label(label(v)) — labels are
+        # always doc_ids of labeled nodes, so the self-join is total
+        jumped = relaxed.alias("x").join(
+            relaxed.select(
+                F.col("doc_id").alias("label"), F.col("label").alias("ll")
+            ).alias("y"),
+            "label",
+        ).select("doc_id", F.col("ll").alias("label"))
+        new_labels = jumped.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select("doc_id", F.col("label").alias("canon"))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster-canonical near-dup labels over the documents table:
+    deterministic capped-Jaccard pair set (same as dedup_jaccard_capped)
+    → connected components → (doc_id, canon). The DuckDB oracle
+    recomputes the components with a recursive CTE over the same pair
+    set, so a hash match proves the distributed label propagation finds
+    exactly the transitive closure."""
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), max_shingle_df=CAPPED_DF
+    )
+    return dedup_cluster_labels(pairs).orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash,  # probabilistic — rows-only check
     "dedup_simhash": q_dedup_simhash,  # probabilistic — rows-only check
 }
@@ -457,5 +540,38 @@ ORACLES = {
                round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
         FROM p WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
+    """,
+    # connected components over the SAME capped pair set, as a recursive
+    # CTE transitive closure — an independent second computation of the
+    # cluster-canonical labels (fine at sf0.01; the Spark side is the
+    # O(log chain) label-propagation that scales)
+    "dedup_clusters": f"""
+        WITH RECURSIVE
+        raw AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+        d AS (SELECT doc_id, list_distinct(list_transform(
+                         range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS toks
+              FROM raw),
+        e AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS h FROM d),
+        keep AS (SELECT h FROM e GROUP BY h
+                 HAVING count(*) BETWEEN 2 AND {CAPPED_DF}),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n AS na, b.n AS nb, count(*) AS inter
+              FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+              JOIN keep k ON k.h = a.h
+              GROUP BY 1, 2, 3, 4),
+        pairs AS (SELECT doc_a, doc_b FROM p
+                  WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b AS a, doc_a AS b FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS canon
+        FROM reach GROUP BY a ORDER BY doc_id
     """,
 }

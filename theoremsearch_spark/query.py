@@ -523,7 +523,16 @@ def topk_frames(
 
     excluded_bc = None
     if excluded_docs is not None:
-        if isinstance(excluded_docs, codec.PackedDocIdSet):
+        from pyspark.broadcast import Broadcast
+
+        if isinstance(excluded_docs, Broadcast):
+            # pre-broadcast artifact: a chunked caller (topk_all_
+            # generations max_batch) broadcasts the tombstone mask ONCE
+            # and passes the handle to every chunk — re-broadcasting a
+            # shared artifact per chunk would accumulate driver+executor
+            # copies linearly with the chunk count
+            excluded_bc = excluded_docs
+        elif isinstance(excluded_docs, codec.PackedDocIdSet):
             # compressed executor-built artifact (topk_all_generations):
             # broadcast the ~1.2 B/id chunks; workers decode once per
             # executor process (memoized on the broadcast-cached object)

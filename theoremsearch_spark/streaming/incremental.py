@@ -274,7 +274,8 @@ def compact_generations(
     unchanged) into one new generation, rebuild a single index over it,
     and commit with `replaces=[old gens]` — ONE atomic manifest rename
     swaps readers over, with no double-serving window. Old generation
-    directories become garbage that can be deleted at leisure.
+    directories become garbage reclaimed by `vacuum_generations`
+    (jobs/vacuum_index.py) after an in-flight-reader grace window.
 
     `tier_fraction=None` (full compaction) merges EVERY generation.
     `tier_fraction=f` is the size-tiered policy a long-running stream
@@ -401,6 +402,70 @@ def compact_generations(
     )
     return {"compacted": True, "generation": new_gen, "n_docs": n,
             "replaced": [g["gen"] for g in gens]}
+
+
+def vacuum_generations(out_dir: str, min_age_seconds: float = 0.0) -> dict:
+    """Physically delete generation directories superseded by a
+    compaction — the space-reclaim half of the LSM lifecycle
+    (`compact_generations` swaps readers atomically and leaves the old
+    dirs as garbage; without a vacuum, every compaction DOUBLES the
+    stored bytes of the merged span and a long-running streamed root
+    leaks disk forever). Reference analog: the reference physically
+    DELETEs replaced rows in the same transaction as the re-insert
+    (/root/reference/ec2/parse_arxiv_papers/__main__.py:269-283); here
+    deletion is deferred so in-flight readers finish first.
+
+    Safety:
+      - Only generations named in a committed manifest's `replaces`
+        list are touched — by construction `_generations` never serves
+        them again. The manifest JSON records are KEPT, so replaying a
+        compacted-away micro-batch still hits the raw-manifest
+        idempotency skip.
+      - `min_age_seconds` is the in-flight-reader window: a superseded
+        dir is removed only when the manifest that replaced it is at
+        least this old (a reader that planned its multi-path scan
+        before the swap may still be reading old files). Pure
+        driver-side filesystem work — no Spark jobs.
+
+    Returns {"vacuumed": [gen, ...], "kept_young": [gen, ...],
+    "bytes_freed": int}; already-removed dirs are skipped silently, so
+    repeated vacuums are no-ops."""
+    import os
+    import shutil
+    import time
+
+    # superseded gen -> commit time of the NEWEST manifest replacing it
+    # (chained compactions may name a gen more than once; age from the
+    # latest swap is the conservative choice)
+    swap_time: dict[int, float] = {}
+    for r in _raw_generations(out_dir):
+        for g in r.get("replaces", []):
+            try:
+                mt = os.path.getmtime(f"{out_dir}/gens/gen_{r['gen']}.json")
+            except OSError:
+                continue
+            swap_time[int(g)] = max(swap_time.get(int(g), 0.0), mt)
+
+    now = time.time()
+    vacuumed: list[int] = []
+    kept_young: list[int] = []
+    freed = 0
+    for g, mt in sorted(swap_time.items()):
+        gd = f"{out_dir}/gen_{g}"
+        if not os.path.isdir(gd):
+            continue
+        if now - mt < min_age_seconds:
+            kept_young.append(g)
+            continue
+        for root, _dirs, files in os.walk(gd):
+            for f in files:
+                try:
+                    freed += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        shutil.rmtree(gd)
+        vacuumed.append(g)
+    return {"vacuumed": vacuumed, "kept_young": kept_young, "bytes_freed": freed}
 
 
 def _with_filter_terms(docs: DataFrame, filter_cols) -> tuple[DataFrame, list[str]]:
@@ -621,7 +686,7 @@ def _tombstone_artifact(dead: DataFrame):
 
 def topk_all_generations(
     spark: SparkSession, out_dir: str, queries, k: int = 10,
-    filters=None, allowed_docs=None,
+    filters=None, allowed_docs=None, max_batch: int = 0,
 ):
     """Query across every committed generation with globally merged
     statistics (N, avgdl, df) — scores are identical to a from-scratch
@@ -630,7 +695,18 @@ def topk_all_generations(
     `filters` (reference R3) work exactly as in single-index topk: each
     group is a required build-time filter term (or an OR-list). Filter
     posting lists merge across generations like any term, and tombstoned
-    doc versions are excluded from filter sets too."""
+    doc versions are excluded from filter sets too.
+
+    `max_batch` serves the batch in bounded chunks (the query.topk_batched
+    wide-side fix, extended to streamed roots — the deployment that
+    actually serves big batches): the serve-time preparation jobs
+    (tombstone artifact, per-term dead-doc counts, merged term stats —
+    all computed over the FULL batch's term set, so they are
+    chunk-independent) run ONCE, and only the scoring job repeats per
+    chunk. The tombstone mask is broadcast once and shared by every
+    chunk. Results are bitwise identical to unchunked serving: scoring
+    is per-query and global statistics don't depend on the batch split.
+    """
     import pandas as pd
 
     from theoremsearch_spark.extract import tokenize
@@ -825,10 +901,35 @@ def topk_all_generations(
         .drop("ub_scale")
         .join(F.broadcast(salted_flags), ["gen", "term_id"])
     )
-    return topk_frames(
-        spark, blocks, merged, queries, n_docs=int(n_docs), avgdl=float(avgdl),
-        k1=k1, b=b, k=k, n_segments=n_segments, excluded_docs=excluded_mask,
-        filters=filters, allowed_docs=allowed_docs,
+    common = dict(
+        n_docs=int(n_docs), avgdl=float(avgdl), k1=k1, b=b, k=k,
+        n_segments=n_segments, filters=filters, allowed_docs=allowed_docs,
+    )
+    if not max_batch or len(queries) <= max_batch:
+        return topk_frames(
+            spark, blocks, merged, queries,
+            excluded_docs=excluded_mask, **common,
+        )
+
+    # bounded chunks: broadcast the tombstone mask ONCE (topk_frames
+    # accepts the Broadcast handle), then one scoring job per chunk
+    # over the shared lazy `blocks` plan and the already-merged term
+    # stats; chunk results are k rows/query — concatenating them on the
+    # driver is tiny by construction
+    from theoremsearch_spark.query import TOPK_SCHEMA
+
+    excl = excluded_mask
+    if excluded_mask is not None and excluded_mask.n:
+        excl = spark.sparkContext.broadcast(excluded_mask)
+    parts = [
+        topk_frames(
+            spark, blocks, merged, queries.iloc[i : i + max_batch],
+            excluded_docs=excl, **common,
+        ).toPandas()
+        for i in range(0, len(queries), max_batch)
+    ]
+    return spark.createDataFrame(
+        pd.concat(parts, ignore_index=True), schema=TOPK_SCHEMA
     )
 
 
