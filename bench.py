@@ -102,6 +102,37 @@ def main() -> int:
         extras["query_p50_est_sec"] = round(timings["engine_topk"] / len(qs), 4)
         extras["queries_per_sec"] = round(len(qs) / timings["engine_topk"], 2)
 
+        # --- engine: bounded-batch serving with REAL latency dist ------
+        # topk_batched is the production serving shape (wide-side
+        # working-set bound, BENCH/BASELINE.md r4); its per-chunk walls
+        # give a measured per-query latency distribution, replacing the
+        # wall/Q estimate the BASELINE.md p50 target used to lean on.
+        from theoremsearch_spark.query import topk_batched
+
+        chunk_sz = 16
+        chunk_walls: list[float] = []
+
+        def serve_chunked():
+            chunk_walls.clear()
+            return topk_batched(
+                spark, f"{work}/index", qs, k=10,
+                max_batch=chunk_sz, chunk_times=chunk_walls,
+            ).count()
+
+        extras["topk_chunked_rows"] = timed("engine_topk_chunked", serve_chunked, reps=2)
+        if chunk_walls:
+            import numpy as np
+
+            sizes = [
+                min(chunk_sz, len(qs) - i) for i in range(0, len(qs), chunk_sz)
+            ]
+            per_q = np.repeat(
+                [w / s for w, s in zip(chunk_walls, sizes)], sizes
+            )
+            extras["chunk_size"] = chunk_sz
+            extras["query_p50_sec"] = round(float(np.percentile(per_q, 50)), 4)
+            extras["query_p95_sec"] = round(float(np.percentile(per_q, 95)), 4)
+
         # --- engine: FILTERED serving (R3 — predicate inside the ranked
         # query, intersected as a salted posting list; lang=en ≈ 90% of
         # docs, the worst-case heavy filter) ---------------------------

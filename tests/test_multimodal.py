@@ -326,3 +326,39 @@ def test_wav_pcm16_features(spark):
     assert abs(r["zero_cross_rate"] - 2 * f / sr) < 0.01
     assert out.loc[2]["format"] == "riff" and out.loc[2]["rms"] is None or np.isnan(out.loc[2]["rms"])
     assert out.loc[3]["format"] is None
+
+
+def test_gif_bmp_dims(spark):
+    import struct as st
+
+    from theoremsearch_spark.functions.multimodal import (
+        decode_image,
+        parse_bmp_dims,
+        parse_gif_dims,
+    )
+
+    gif89 = b"GIF89a" + st.pack("<HH", 320, 200) + b"\x00" * 3
+    gif87 = b"GIF87a" + st.pack("<HH", 16, 9) + b"\x00" * 3
+    assert parse_gif_dims(gif89) == (320, 200)
+    assert parse_gif_dims(gif87) == (16, 9)
+    assert parse_gif_dims(b"GIF89a\x00") is None  # truncated
+    assert parse_gif_dims(b"GIF88a" + st.pack("<HH", 1, 1) + b"\x00") is None
+
+    def bmp(hdr_size, w, h, fmt="<ii"):
+        dib = st.pack("<I", hdr_size) + st.pack(fmt, w, h)
+        return b"BM" + b"\x00" * 12 + dib + b"\x00" * 16
+
+    assert parse_bmp_dims(bmp(40, 640, 480)) == (640, 480)
+    # negative height = top-down row order; magnitude is the height
+    assert parse_bmp_dims(bmp(40, 640, -480)) == (640, 480)
+    assert parse_bmp_dims(bmp(12, 100, 50, fmt="<HH")) == (100, 50)
+    assert parse_bmp_dims(bmp(40, 0, 480)) is None  # degenerate
+    assert parse_bmp_dims(b"BM\x00") is None  # truncated
+
+    fmt_, w, h, px, c = decode_image(gif89)
+    assert (fmt_, w, h, px, c) == ("gif", 320, 200, None, 0)
+    fmt_, w, h, px, c = decode_image(bmp(40, 640, 480))
+    assert (fmt_, w, h, px, c) == ("bmp", 640, 480, None, 0)
+    # corrupt bytes after the magic -> format sniffed, dims null, no crash
+    fmt_, w, h, px, c = decode_image(b"GIF89a\xff")
+    assert (fmt_, w, h) == ("gif", None, None)

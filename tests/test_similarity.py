@@ -142,3 +142,19 @@ def test_ann_lsh_candidates_are_bucketed(spark, emb_frames):
     n_candidates = bucketed.join(probes, "bucket").count()
     n_total = emb.count() * queries.count()
     assert n_candidates < 0.5 * n_total
+
+
+def test_ivf_assignment_plan_is_centroid_count_free(spark, emb_frames):
+    """The corpus cell assignment must be the Arrow-batched matmul UDF,
+    not a per-centroid codegen expression: the analyzed plan contains
+    one ArrowEvalPython node and NO n_centroids-wide struct array, so
+    plan size stays O(1) as the centroid count grows to the thousands a
+    10^12-row corpus needs."""
+    from theoremsearch_spark.functions.similarity import ann_ivf_topk
+
+    emb, queries = emb_frames
+    qp = queries.toPandas()
+    plan = ann_ivf_topk(emb, qp, DIM, k=K)._jdf.queryExecution().analyzed().toString()
+    assert "ArrowEvalPython" in plan or "cell_of" in plan
+    # the old shape embedded one aggregate(zip_with(...)) per centroid
+    assert plan.count("zip_with") + plan.count("aggregate(") < 10

@@ -9,6 +9,8 @@ the common web cases — no PIL/cv2/libav in this container:
     unfilter) — the overwhelming share of real web PNGs;
   - JPEG: dimensions from the SOFn frame header;
   - WEBP: dimensions from the VP8/VP8L/VP8X chunk headers;
+  - GIF: dimensions from the logical screen descriptor;
+  - BMP: dimensions from the BITMAPINFOHEADER / BITMAPCOREHEADER;
   - WAV: full PCM16 decode (fmt-chunk walk + frombuffer) with real
     audio features (duration, RMS, zero-crossing rate).
 What still needs an external codec (JPEG/WEBP pixels, 16-bit/palette
@@ -57,6 +59,8 @@ MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
     b"RIFF": "riff",
+    b"GIF8": "gif",
+    b"BM": "bmp",
     b"SYN0": "synthetic",  # our deterministic test format
 }
 
@@ -334,7 +338,41 @@ def decode_image(
         if dims:
             return "webp", dims[0], dims[1], None, 0
         return fmt, None, None, None, 0
+    if fmt == "gif":
+        dims = parse_gif_dims(raw)
+        return (fmt, dims[0], dims[1], None, 0) if dims else (fmt, None, None, None, 0)
+    if fmt == "bmp":
+        dims = parse_bmp_dims(raw)
+        return (fmt, dims[0], dims[1], None, 0) if dims else (fmt, None, None, None, 0)
     return None, None, None, None, 0
+
+
+def parse_gif_dims(raw: bytes) -> tuple[int, int] | None:
+    """(width, height) from the GIF logical screen descriptor — two
+    little-endian u16s right after the GIF87a/GIF89a signature."""
+    if len(raw) < 10 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", raw[6:10])
+    return (int(w), int(h)) if w and h else None
+
+
+def parse_bmp_dims(raw: bytes) -> tuple[int, int] | None:
+    """(width, height) from the BMP DIB header. BITMAPINFOHEADER
+    (size >= 40): signed i32 dims at offsets 18/22 — a negative height
+    means top-down row order, the magnitude is the pixel height. The
+    ancient BITMAPCOREHEADER (size 12) stores u16 dims."""
+    if len(raw) < 26 or raw[:2] != b"BM":
+        return None
+    (hdr_size,) = struct.unpack("<I", raw[14:18])
+    if hdr_size >= 40:
+        w, h = struct.unpack("<ii", raw[18:26])
+    elif hdr_size == 12:
+        w, h = struct.unpack("<HH", raw[18:22])
+    else:
+        return None
+    if w <= 0 or h == 0:
+        return None
+    return int(w), abs(int(h))
 
 
 def parse_webp_dims(raw: bytes) -> tuple[int, int] | None:

@@ -20,6 +20,7 @@ Replaces the reference's pgvector `<#>` scan
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from theoremsearch_spark.functions.widen import widen_small_input as _widen
@@ -143,8 +144,8 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, queries, dim, k=10).orderBy("query_id", "rnk")
 
 
-N_CENTROIDS = 16
-N_PROBE = 4
+N_CENTROIDS = 64
+N_PROBE = 8
 KMEANS_ITERS = 8
 KMEANS_SAMPLE = 4096
 
@@ -218,17 +219,27 @@ def ann_ivf_topk(
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
     C = _kmeans_spherical(X, min(n_centroids, len(X)))
 
-    # corpus assignment: argmax over centroids of cosine — JVM-side
-    scored = F.array(
-        *[
-            F.struct(_dot("embedding", C[i]).alias("s"), F.lit(i).alias("i"))
-            for i in range(C.shape[0])
-        ]
-    )
-    # the vector's own norm is constant across the C cell scores, so the
-    # argmax over dot(v, unit-centroid) IS the cosine argmax — no
-    # normalization needed corpus-side
-    cells = _widen(emb).withColumn("cell", F.array_max(scored)["i"])
+    # corpus assignment: one X @ C.T matmul + argmax per Arrow batch
+    # (the minhash_sig_udf pattern). An earlier version built a
+    # per-centroid codegen struct array and array_max'd it — fine at 16
+    # centroids, but the expression tree (and codegen'd method size)
+    # grows LINEARLY with n_centroids, and the thousands of cells a
+    # 10^12-row corpus needs (cells-as-partitions) would blow up plan
+    # size/codegen limits. The vectorized matmul is O(1) plan nodes at
+    # any centroid count; centroids ship once per executor as a
+    # broadcast. The vector's own norm is constant across cell scores,
+    # so argmax over dot(v, unit-centroid) IS the cosine argmax — no
+    # normalization needed corpus-side.
+    from pyspark.sql.functions import pandas_udf
+
+    C_bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        X = np.vstack(embs.to_numpy()).astype(np.float64)
+        return pd.Series((X @ C_bc.value.T).argmax(axis=1).astype(np.int32))
+
+    cells = _widen(emb).withColumn("cell", cell_of("embedding"))
 
     # query probes: numpy, driver-side
     Q = np.array(list(queries_pdf["qvec"]), dtype=np.float64)

@@ -657,12 +657,17 @@ def topk_batched(
     k: int = 10,
     *,
     max_batch: int = 0,
+    chunk_times: list | None = None,
     **topk_kwargs,
 ) -> DataFrame:
     """Serve a large query batch in bounded chunks of `max_batch`
     queries — one scoring job per chunk, chunk results (k rows/query,
     tiny) concatenated into one local-relation DataFrame. `max_batch=0`
     = unchunked (plain topk).
+
+    `chunk_times`: optional list that receives each chunk's measured
+    wall seconds (bench.py derives the REAL serving-latency p50/p95
+    from these instead of estimating from total wall / Q).
 
     Why this exists: the scorer's fan working set (posting blocks ×
     queries) grows linearly with the batch while per-core heap is
@@ -676,12 +681,18 @@ def topk_batched(
     stats are batch-independent."""
     if not max_batch or len(queries) <= max_batch:
         return topk(spark, index_dir, queries, k=k, **topk_kwargs)
-    parts = [
-        topk(
-            spark, index_dir, queries.iloc[i : i + max_batch], k=k, **topk_kwargs
-        ).toPandas()
-        for i in range(0, len(queries), max_batch)
-    ]
+    import time
+
+    parts = []
+    for i in range(0, len(queries), max_batch):
+        t0 = time.monotonic()
+        parts.append(
+            topk(
+                spark, index_dir, queries.iloc[i : i + max_batch], k=k, **topk_kwargs
+            ).toPandas()
+        )
+        if chunk_times is not None:
+            chunk_times.append(time.monotonic() - t0)
     return spark.createDataFrame(pd.concat(parts, ignore_index=True), schema=TOPK_SCHEMA)
 
 
