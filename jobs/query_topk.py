@@ -89,20 +89,35 @@ def main(argv: list[str] | None = None) -> int:
         )
         # same output schema as the --index branches: ranked ids joined
         # back to document metadata (whatever columns the root's docs
-        # tables carry); per-generation docs are doc_id-ascending, so
-        # the hit-range filter prunes row groups in every generation
-        docs = spark.read.parquet(
-            *[
-                _docs_path(args.gens, g["gen"])
-                for g in _generations(spark, args.gens)
-                if not g.get("delete_only")
-            ]
+        # tables carry). Per-generation docs dirs with an _id_ranges
+        # manifest contribute only the FILES containing hit ids
+        # (point-lookup pruning); dirs without one (docs_offset) fall
+        # back whole, and the hit-range filter still prunes their row
+        # groups (docs are doc_id-ascending in every generation).
+        from theoremsearch_spark.query import _prune_doc_files
+
+        ids = sorted(
+            int(r["doc_id"])
+            for r in ranked.select("doc_id").distinct().collect()
         )
-        rng = ranked.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).collect()[0]
-        if rng["lo"] is not None:
-            docs = docs.filter(F.col("doc_id").between(int(rng["lo"]), int(rng["hi"])))
+        paths: list[str] = []
+        for g in _generations(spark, args.gens):
+            if g.get("delete_only"):
+                continue
+            p = _docs_path(args.gens, g["gen"])
+            sel = _prune_doc_files(p, ids)
+            paths.extend([p] if sel is None else sel)
+        docs = spark.read.parquet(*paths) if paths else None
+        if docs is None:
+            docs = spark.read.parquet(
+                *[
+                    _docs_path(args.gens, g["gen"])
+                    for g in _generations(spark, args.gens)
+                    if not g.get("delete_only")
+                ]
+            ).filter(F.lit(False))
+        elif ids:
+            docs = docs.filter(F.col("doc_id").between(ids[0], ids[-1]))
         meta_cols = [c for c in ("url", "lang", "warc_ts") if c in docs.columns]
         hits = ranked.join(
             docs.select("doc_id", *meta_cols), "doc_id", "left"

@@ -74,7 +74,10 @@ def main(argv: list[str] | None = None) -> int:
     # <dir>/*) or an explicit glob, used verbatim. The old rule appended
     # '/*' to anything not ending in a bare '*', so 'dir/*.parquet'
     # became 'dir/*.parquet/*' — a path matching nothing.
-    is_glob = any(ch in args.input for ch in "*?[")
+    # only '*' and '?' mark a glob: '[' also appears in literal dir
+    # names ('batches[eu]'), and treating those as globs passed them
+    # verbatim — the stream silently watched nothing
+    is_glob = any(ch in args.input for ch in "*?")
     stream_path = args.input if is_glob else args.input.rstrip("/") + "/*"
 
     if args.synth_batch:

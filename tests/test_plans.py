@@ -95,3 +95,47 @@ def test_rescore_doc_lookup_is_range_pruned(spark, index_dir):
         assert any("doc_id" in p and ("GreaterThan" in p or ">=" in p) for p in pf), pf
         assert any("doc_id" in p and ("LessThan" in p or "<=" in p) for p in pf), pf
         assert df.count() > 0
+
+
+def test_doc_meta_lookup_reads_only_touched_files(spark, index_dir):
+    """Point-lookup pruning via the _id_ranges manifest: a hit set that
+    SPANS the id space (one id near each end — worst case for the old
+    global [min, max] filter, whose span is the whole table) must read
+    only the parquet files whose recorded id range contains a hit, not
+    every file in the docs dir."""
+    import glob
+    import os
+
+    from theoremsearch_spark.query import TOPK_SCHEMA, _pruned_doc_meta
+    from theoremsearch_spark.stats import ID_RANGES_MANIFEST
+
+    docs_dir = f"{index_dir}/docs"
+    assert os.path.isfile(os.path.join(docs_dir, ID_RANGES_MANIFEST))
+    n_files = len(glob.glob(f"{docs_dir}/*.parquet"))
+    assert n_files >= 4  # the fixture writes 8 partitions
+
+    # ids 3 and 1996: first and last file of the 2k corpus
+    hits = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [0, 0], "rank": [1, 2],
+             "doc_id": [3, 1996], "score": [2.0, 1.0]}
+        ),
+        schema=TOPK_SCHEMA,
+    )
+    meta = _pruned_doc_meta(spark, docs_dir, hits, ["url"])
+    read = set(meta.inputFiles())
+    assert 0 < len(read) <= 2 < n_files, (len(read), n_files)
+    got = meta.filter(F.col("doc_id").isin([3, 1996])).count()
+    assert got == 2
+
+    # no-manifest fallback: same rows, whole-dir listing
+    import shutil as _sh
+
+    bak = os.path.join(docs_dir, ID_RANGES_MANIFEST)
+    _sh.move(bak, bak + ".off")
+    try:
+        meta2 = _pruned_doc_meta(spark, docs_dir, hits, ["url"])
+        assert len(set(meta2.inputFiles())) == n_files
+        assert meta2.filter(F.col("doc_id").isin([3, 1996])).count() == 2
+    finally:
+        _sh.move(bak + ".off", bak)

@@ -755,15 +755,58 @@ def _localize_hits(spark: SparkSession, hits: DataFrame) -> DataFrame:
 def _pruned_doc_meta(
     spark: SparkSession, docs_dir: str, hits: DataFrame, cols: list[str]
 ) -> DataFrame:
-    """Column-pruned docs scan restricted to the hit set's
-    [min(doc_id), max(doc_id)] range. prepare_docs writes docs
-    doc_id-ascending, so the between-filter (pushed to parquet
-    row-group statistics) bounds the scan to the file/row-group subset
-    that can contain the k·Q hits — without it, looking up a few
-    hundred rows reads every row of a 10^12-doc table. The join itself
-    still does the exact id matching; AQE broadcasts the hits side."""
-    meta = spark.read.parquet(docs_dir).select("doc_id", *cols)
-    rng = hits.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
-    if rng["lo"] is not None:
-        meta = meta.filter(F.col("doc_id").between(int(rng["lo"]), int(rng["hi"])))
+    """Column-pruned docs scan restricted to exactly the PARQUET FILES
+    that can contain the hit ids. prepare_docs writes docs
+    doc_id-ascending and records each file's [lo, hi] id span in an
+    `_id_ranges.json` sidecar (footer stats, zero extra IO at write
+    time); the lookup binary-searches the k·Q hit ids against the
+    spans and scans only the touched files — point-lookup physics, the
+    10^12-doc answer the old global [min(hit), max(hit)] between-span
+    could not give (hits spread across the id space make that span the
+    whole table, leaving only row-group stats inside it). Dirs without
+    a manifest (docs_offset generations, hand-built roots) fall back to
+    the span filter, which is still pushed to row-group statistics. The
+    join itself does the exact id matching; AQE broadcasts the hits
+    side."""
+    ids = sorted(
+        int(r["doc_id"]) for r in hits.select("doc_id").distinct().collect()
+    )
+    sel = _prune_doc_files(docs_dir, ids)
+    if sel is None:
+        meta = spark.read.parquet(docs_dir).select("doc_id", *cols)
+    elif not sel:
+        # manifest present, no file can contain a hit — statically empty
+        # (Filter(false) folds to an empty relation: zero file reads)
+        return (
+            spark.read.parquet(docs_dir)
+            .select("doc_id", *cols)
+            .filter(F.lit(False))
+        )
+    else:
+        meta = spark.read.parquet(*sel).select("doc_id", *cols)
+    if ids:
+        meta = meta.filter(F.col("doc_id").between(ids[0], ids[-1]))
     return meta
+
+
+def _prune_doc_files(docs_dir: str, ids: list[int]) -> list[str] | None:
+    """Files of `docs_dir` whose recorded doc_id span contains at least
+    one hit id, per the `_id_ranges.json` sidecar. None = no manifest
+    (or no ids) — caller falls back to the whole-dir scan. An empty
+    list means the manifest proves NO file holds a hit."""
+    import bisect
+    import json
+    import os
+
+    from theoremsearch_spark.stats import ID_RANGES_MANIFEST
+
+    manifest = os.path.join(docs_dir, ID_RANGES_MANIFEST)
+    if not ids or not os.path.isfile(manifest):
+        return None
+    with open(manifest) as fh:
+        ranges = json.load(fh)["files"]
+    return [
+        os.path.join(docs_dir, r["file"])
+        for r in ranges
+        if (i := bisect.bisect_left(ids, r["lo"])) < len(ids) and ids[i] <= r["hi"]
+    ]

@@ -75,6 +75,8 @@ class ParquetBucketSink(UpsertSink):
     def upsert(
         self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
     ) -> None:
+        from pyspark.errors import AnalysisException
+
         new_b = self._with_bucket(new_rows, key)
         buckets = [r["kb"] for r in new_b.select("kb").distinct().collect()]
         try:
@@ -82,7 +84,24 @@ class ParquetBucketSink(UpsertSink):
             merged = existing.join(
                 new_b.select(key).distinct(), key, "left_anti"
             ).unionByName(new_b)
-        except Exception:
+        except AnalysisException as e:
+            # ONLY "table doesn't exist yet" falls back to a fresh
+            # write — missing path, or an existing-but-EMPTY dir
+            # (UNABLE_TO_INFER_SCHEMA: no footers → no data to lose).
+            # Any other read failure (corrupt footer, transient FS
+            # error) must propagate: combined with dynamic partition
+            # overwrite, treating it as first-write would silently drop
+            # every other key in the affected kb= buckets.
+            msg = str(e)
+            if not any(
+                s in msg
+                for s in (
+                    "PATH_NOT_FOUND",
+                    "Path does not exist",
+                    "UNABLE_TO_INFER_SCHEMA",
+                )
+            ):
+                raise
             merged = new_b  # first write — table doesn't exist yet
         # dynamic overwrite of just the affected bucket partitions
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -142,24 +161,43 @@ class IcebergMergeSink(UpsertSink):
         cols = new_rows.columns
         sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in cols if c != key)
         vals = ", ".join(f"s.{q(c)}" for c in cols)
+        # a key-only batch has nothing to UPDATE — an empty SET clause
+        # is a MERGE syntax error at runtime, so emit the
+        # insert-if-absent form instead (same semantics: matched rows
+        # are already identical to the source)
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
         with self._with_source_view(new_rows) as view:
             spark.sql(
                 f"MERGE INTO {table} t USING {view} s ON t.{q(key)} = s.{q(key)} "
-                f"WHEN MATCHED THEN UPDATE SET {sets} "
-                f"WHEN NOT MATCHED THEN INSERT ({', '.join(q(c) for c in cols)}) "
+                + matched
+                + f"WHEN NOT MATCHED THEN INSERT ({', '.join(q(c) for c in cols)}) "
                 f"VALUES ({vals})"
             )
 
     def replace(
         self, spark: SparkSession, table: str, new_rows: DataFrame, key: str
     ) -> None:
+        """NOT atomic: DELETE and INSERT are two Iceberg commits, so a
+        crash between them loses the batch's old rows without the new
+        ones landing, and a concurrent reader can observe the
+        deleted-but-not-reinserted state — weaker than
+        ParquetBucketSink (atomic per partition) and the reference's
+        transactional DELETE+insert. Recover by re-running the batch
+        (the DELETE is idempotent). A WAP/branch-staged variant would
+        close the window; single-row-per-key batches can use `upsert`
+        (one atomic MERGE) instead."""
         self._require_runtime(spark)
         q = "`{}`".format
+        # INSERT with explicit column names: Spark SQL INSERT...SELECT
+        # is positional, and a source whose column order differs from
+        # the table's would land values in the wrong (same-typed)
+        # columns without an error
+        cols = ", ".join(q(c) for c in new_rows.columns)
         with self._with_source_view(new_rows) as view:
             spark.sql(
                 f"DELETE FROM {table} WHERE {q(key)} IN (SELECT {q(key)} FROM {view})"
             )
-            spark.sql(f"INSERT INTO {table} SELECT * FROM {view}")
+            spark.sql(f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {view}")
 
 
 def iceberg_available(spark: SparkSession) -> bool:

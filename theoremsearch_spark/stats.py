@@ -254,9 +254,63 @@ def prepare_docs(
     # row-group intervals must tile [id_base, id_base+expected) exactly.
     # Any cross-partition duplicate overlaps two intervals; any gap
     # breaks the tiling — both caught from footer statistics alone.
+    # The same footer walk yields the per-FILE id-range manifest
+    # (_id_ranges.json) that serving's metadata lookups use for
+    # file-level pruning — see query._pruned_doc_meta.
     if expected:
         _assert_dense_ids_from_footers(out, f"{out_dir}/docs", int(id_base), expected)
+        write_id_range_manifest(f"{out_dir}/docs")
     return out
+
+
+ID_RANGES_MANIFEST = "_id_ranges.json"
+
+
+def write_id_range_manifest(docs_path: str) -> bool:
+    """Record each parquet file's [min, max] doc_id span (footer stats
+    only — zero data read) as `_id_ranges.json` inside the docs dir
+    (underscore prefix: invisible to Spark's parquet listing). Because
+    prepare_docs writes ids ascending per task, files cover disjoint
+    contiguous ranges — the manifest turns a k·Q-hit metadata lookup
+    into reads of ONLY the files containing hit ids, instead of a
+    global [min, max] span scan that degenerates to the whole table
+    when hits spread across the id space (they do, at large Q). The
+    overwrite write that replaces the docs also deletes the manifest,
+    so a stale manifest cannot survive a rewrite. Returns False (no
+    manifest) when any file lacks min/max statistics.
+
+    At 10^12 docs the manifest is millions of entries — still a
+    driver-tractable sidecar (tens of MB), and the ranges are sorted so
+    lookup stays a binary search; past that, store it as a parquet
+    table and broadcast-join instead."""
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = []
+    for f in sorted(_glob.glob(f"{docs_path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        if not md.num_row_groups:
+            continue
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "doc_id"
+        )
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return False
+            lo = int(st.min) if lo is None else min(lo, int(st.min))
+            hi = int(st.max) if hi is None else max(hi, int(st.max))
+        files.append({"file": os.path.basename(f), "lo": lo, "hi": hi})
+    tmp = f"{docs_path}/.{ID_RANGES_MANIFEST}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"files": files}, fh)
+    os.rename(tmp, f"{docs_path}/{ID_RANGES_MANIFEST}")
+    return True
 
 
 def _assert_dense_ids_from_footers(df: DataFrame, path: str, id_base: int, expected: int) -> None:
