@@ -4,6 +4,7 @@ though the codec is a deterministic stub."""
 import struct
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from theoremsearch_spark.functions.multimodal import (
@@ -362,3 +363,153 @@ def test_gif_bmp_dims(spark):
     # corrupt bytes after the magic -> format sniffed, dims null, no crash
     fmt_, w, h, px, c = decode_image(b"GIF89a\xff")
     assert (fmt_, w, h) == ("gif", None, None)
+
+
+# --- GIF LZW frame decoding + BMP pixel codec ------------------------------
+
+def _lzw_literal_stream(codes, mcs):
+    """Independent test-side GIF LZW encoder (literal codes + periodic
+    clears), mirroring the decoder's code-width growth — so the decode
+    test is not a product-code round trip."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out_bits = []
+    code_size, table_len, prev = mcs + 1, clear + 2, False
+    out_bits.append((clear, code_size))
+    for i, c in enumerate(codes):
+        if i and i % 100 == 0:
+            out_bits.append((clear, code_size))
+            code_size, table_len, prev = mcs + 1, clear + 2, False
+        out_bits.append((int(c), code_size))
+        if prev:
+            table_len += 1
+            if table_len == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = True
+    out_bits.append((end, code_size))
+    acc = nb = 0
+    buf = bytearray()
+    for code, size in out_bits:
+        acc |= code << nb
+        nb += size
+        while nb >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _gif_encode(frames, palette, W, H, rects=None, interlace_idx=None,
+                transparent=None):
+    import struct as st
+
+    nbits = max(1, (len(palette) - 1).bit_length())
+    out = bytearray(b"GIF89a") + st.pack("<HH", W, H)
+    out += bytes([0x80 | (nbits - 1), 0, 0])
+    pal = np.zeros((2 ** nbits, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out += pal.tobytes()
+    for fi, fr in enumerate(frames):
+        if transparent is not None and fi > 0:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        x, y = rects[fi] if rects else (0, 0)
+        fh, fw = fr.shape
+        ifl = 0x40 if interlace_idx == fi else 0
+        out += bytes([0x2C]) + st.pack("<HHHH", x, y, fw, fh) + bytes([ifl])
+        data = fr
+        if ifl:  # write rows in interlace pass order
+            data = np.vstack([fr[0::8], fr[4::8], fr[2::4], fr[1::2]])
+        mcs = max(2, nbits)
+        out.append(mcs)
+        stream = _lzw_literal_stream(data.reshape(-1).tolist(), mcs)
+        for i in range(0, len(stream), 255):
+            blk = stream[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_lzw_frame_decode_and_compositing(spark):
+    """Animated GIF → frames: full first frame, partial second frame
+    composited onto the canvas, transparency holes keep prior pixels,
+    and an interlaced frame is de-interlaced. Fixtures come from an
+    independent test-side LZW encoder."""
+    from theoremsearch_spark.functions.multimodal import decode_gif_frames
+
+    rng_ = np.random.default_rng(5)
+    palette = rng_.integers(0, 256, (8, 3), dtype=np.uint8)
+    f0 = rng_.integers(0, 8, (10, 12), dtype=np.uint8)
+    f1 = rng_.integers(0, 8, (4, 5), dtype=np.uint8)
+    f1[1, :] = 7  # transparent index
+    raw = _gif_encode(
+        [f0, f1], palette, 12, 10, rects=[(0, 0), (3, 2)], transparent=7
+    )
+    frames = list(decode_gif_frames(raw))
+    assert len(frames) == 2
+    assert (frames[0] == palette[f0]).all()
+    want = palette[f0].copy()
+    rect = want[2:6, 3:8]
+    mask = f1 != 7
+    rect[mask] = palette[f1][mask]
+    assert (frames[1] == want).all()
+
+    # interlaced single frame
+    fi = rng_.integers(0, 8, (13, 6), dtype=np.uint8)
+    raw_i = _gif_encode([fi], palette, 6, 13, interlace_idx=0)
+    got = list(decode_gif_frames(raw_i))
+    assert len(got) == 1 and (got[0] == palette[fi]).all()
+
+    # corrupt stream: truncated mid-frame -> no crash, no bogus frames
+    assert list(decode_gif_frames(raw[: len(raw) // 2])) in ([], [frames[0]])
+
+
+def test_bmp_pixel_roundtrip_and_resize(spark):
+    from theoremsearch_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        decode_image,
+        encode_bmp,
+        resize_stub,
+    )
+
+    rng_ = np.random.default_rng(6)
+    img = rng_.integers(0, 256, (9, 7, 3), dtype=np.uint8)  # odd w: row pad
+    raw = encode_bmp(img)
+    assert (decode_bmp_pixels(raw) == img).all()
+    fmt, w, h, px, c = decode_image(raw)
+    assert (fmt, w, h, c) == ("bmp", 7, 9, 3)
+    assert (px.reshape(9, 7, 3) == img).all()
+
+    big = rng_.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [encode_bmp(big)]})
+    )
+    out = resize_stub(df, max_side=16).toPandas()
+    small = decode_bmp_pixels(bytes(out["payload"].iloc[0]))
+    assert (small == big[::4, ::4]).all()
+
+
+def test_gif_frame_sample_emits_real_pngs(spark):
+    """frame_sample over an animated GIF: every_n-th composited frame
+    re-emitted as a standalone decodable PNG."""
+    from theoremsearch_spark.functions.multimodal import (
+        decode_gif_frames,
+        decode_png_pixels,
+        frame_sample_stub,
+    )
+
+    rng_ = np.random.default_rng(7)
+    palette = rng_.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames = [rng_.integers(0, 16, (8, 8), dtype=np.uint8) for _ in range(6)]
+    raw = _gif_encode(frames, palette, 8, 8)
+    want = list(decode_gif_frames(raw))
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [9], "payload": [raw]})
+    )
+    got = frame_sample_stub(df, every_n=2).toPandas().sort_values("frame_no")
+    assert got["frame_no"].tolist() == [0, 2, 4]
+    for fno, blob in zip(got["frame_no"], got["frame"]):
+        px, c = decode_png_pixels(bytes(blob))
+        assert c == 3
+        assert (px.reshape(8, 8, 3) == want[fno]).all()

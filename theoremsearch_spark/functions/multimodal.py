@@ -9,14 +9,16 @@ the common web cases — no PIL/cv2/libav in this container:
     unfilter) — the overwhelming share of real web PNGs;
   - JPEG: dimensions from the SOFn frame header;
   - WEBP: dimensions from the VP8/VP8L/VP8X chunk headers;
-  - GIF: dimensions from the logical screen descriptor;
-  - BMP: dimensions from the BITMAPINFOHEADER / BITMAPCOREHEADER;
+  - GIF: FULL frame decode (variable-width LZW + palette + canvas
+    compositing + transparency + de-interlace) — animated GIFs are the
+    real video-frame-sampling path (frame_sample re-emits PNGs);
+  - BMP: 24-bit uncompressed pixel decode/encode (real resize);
   - WAV: full PCM16 decode (fmt-chunk walk + frombuffer) with real
     audio features (duration, RMS, zero-crossing rate).
 What still needs an external codec (JPEG/WEBP pixels, 16-bit/palette
-PNG, compressed audio, video frames) is metadata-only in the feature
-path and raises in the resize path; swapping in PIL/libav is a
-one-function change in `decode_image`.
+PNG, compressed audio, containered video mp4/webm) is metadata-only in
+the feature path and raises in the resize path; swapping in PIL/libav
+is a one-function change in `decode_image`.
 
 Design points for 100 TB of media:
   - binary payloads never leave the JVM until the mapInPandas boundary,
@@ -340,11 +342,166 @@ def decode_image(
         return fmt, None, None, None, 0
     if fmt == "gif":
         dims = parse_gif_dims(raw)
-        return (fmt, dims[0], dims[1], None, 0) if dims else (fmt, None, None, None, 0)
+        if not dims:
+            return fmt, None, None, None, 0
+        frame = next(decode_gif_frames(raw, max_frames=1), None)
+        if frame is not None:
+            return fmt, dims[0], dims[1], frame.reshape(-1), 3
+        return fmt, dims[0], dims[1], None, 0
     if fmt == "bmp":
         dims = parse_bmp_dims(raw)
-        return (fmt, dims[0], dims[1], None, 0) if dims else (fmt, None, None, None, 0)
+        if not dims:
+            return fmt, None, None, None, 0
+        px = decode_bmp_pixels(raw)
+        if px is not None:
+            return fmt, dims[0], dims[1], px.reshape(-1), 3
+        return fmt, dims[0], dims[1], None, 0
     return None, None, None, None, 0
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> bytes | None:
+    """GIF variable-width LZW (LSB-first bit packing) → index stream of
+    exactly `npix` pixels. Pure-python per-frame loop — fine for the
+    pipeline's Arrow-batched frames; a PIL swap-in replaces only this
+    function. Returns None on a corrupt stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = table[: clear + 2]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:npix]) if len(out) >= npix else None
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None  # corrupt: code beyond table
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= npix:
+                return bytes(out[:npix])
+    return bytes(out[:npix]) if len(out) >= npix else None
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start row, step) passes
+
+
+def decode_gif_frames(raw: bytes, max_frames: int | None = None):
+    """Decode an (animated) GIF's frames to (h, w, 3) RGB uint8 arrays —
+    the stdlib-real half of video frame sampling (GIF is the one
+    web-video-ish format decodable without libav). Yields full-canvas
+    frames: each image descriptor's rectangle is composited onto a
+    persistent canvas ("do not dispose" semantics, transparency
+    honored), which matches the common boomerang/screen-capture GIFs;
+    exotic disposal modes come out as the accumulated canvas rather
+    than a bit-exact player rendering. Interlaced frames are
+    de-interlaced. Corrupt streams stop the iteration — frames decoded
+    so far are still returned."""
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return
+    W_, H_ = struct.unpack("<HH", raw[6:10])
+    flags = raw[10]
+    bg_index = raw[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(raw, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((H_, W_, 3), dtype=np.uint8)
+    if gct is not None and bg_index < len(gct):
+        canvas[:] = gct[bg_index]
+    transparent = None
+    emitted = 0
+    while pos < len(raw):
+        block = raw[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(raw):
+                return
+            label = raw[pos]
+            pos += 1
+            sub_start = pos
+            while pos < len(raw) and raw[pos]:
+                pos += 1 + raw[pos]
+            if pos >= len(raw):
+                return
+            if label == 0xF9 and pos - sub_start >= 5:  # graphic control
+                gflags = raw[sub_start + 1]
+                transparent = raw[sub_start + 4] if gflags & 0x01 else None
+            pos += 1  # block terminator
+            continue
+        if block != 0x2C:  # not an image descriptor — corrupt
+            return
+        if pos + 9 > len(raw):
+            return
+        x, y, fw, fh = struct.unpack("<HHHH", raw[pos : pos + 8])
+        iflags = raw[pos + 8]
+        pos += 9
+        ct = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            if pos + n * 3 > len(raw):
+                return
+            ct = np.frombuffer(raw, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None or pos >= len(raw):
+            return
+        min_code = raw[pos]
+        pos += 1
+        chunks = []
+        while pos < len(raw) and raw[pos]:
+            ln = raw[pos]
+            chunks.append(raw[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        if pos >= len(raw):
+            return
+        pos += 1  # terminator
+        idx = _gif_lzw_decode(b"".join(chunks), min_code, fw * fh)
+        if idx is None or not (0 < fw and 0 < fh) or x + fw > W_ or y + fh > H_:
+            return
+        frame_idx = np.frombuffer(idx, np.uint8).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: reorder rows in 4 passes
+            ordered = np.empty_like(frame_idx)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                nrows = len(range(start, fh, step))
+                ordered[start::step] = frame_idx[src : src + nrows]
+                src += nrows
+            frame_idx = ordered
+        safe = np.minimum(frame_idx, len(ct) - 1)
+        rect = canvas[y : y + fh, x : x + fw]
+        px = ct[safe]
+        if transparent is not None:
+            mask = frame_idx != transparent
+            rect[mask] = px[mask]
+        else:
+            rect[:] = px
+        yield canvas.copy()
+        emitted += 1
+        if max_frames is not None and emitted >= max_frames:
+            return
 
 
 def parse_gif_dims(raw: bytes) -> tuple[int, int] | None:
@@ -354,6 +511,49 @@ def parse_gif_dims(raw: bytes) -> tuple[int, int] | None:
         return None
     w, h = struct.unpack("<HH", raw[6:10])
     return (int(w), int(h)) if w and h else None
+
+
+def decode_bmp_pixels(raw: bytes) -> np.ndarray | None:
+    """Full pixel decode for the plain web BMP: BITMAPINFOHEADER,
+    24-bit uncompressed (BI_RGB), bottom-up or top-down. Returns an
+    (h, w, 3) RGB uint8 array; other BMP variants (paletted, RLE,
+    16/32-bit) return None — metadata-only, like non-8-bit PNGs."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", raw[10:14])
+    (hdr_size,) = struct.unpack("<I", raw[14:18])
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack("<ii", raw[18:26])
+    planes, bpp = struct.unpack("<HH", raw[26:30])
+    (compression,) = struct.unpack("<I", raw[30:34])
+    if w <= 0 or h == 0 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + row_bytes * h
+    if len(raw) < need:
+        return None
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 → 24-bit uncompressed bottom-up BMP. The
+    write half of the BMP pixel path — resize re-emits real BMPs."""
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+    data = body.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return hdr + dib + data
 
 
 def parse_bmp_dims(raw: bytes) -> tuple[int, int] | None:
@@ -442,11 +642,13 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
 def resize_stub(media: DataFrame, max_side: int) -> DataFrame:
     """Resize: payload → payload (binary→binary mapInPandas). Real
-    end-to-end for the synthetic format AND 8-bit grayscale PNG
-    (stdlib decode → decimate → stdlib re-encode); formats we cannot
-    re-encode without an external codec (JPEG, color/interlaced PNG,
-    RIFF) raise NotImplementedError — a silent pass-through would be a
-    resize that quietly did nothing. Unknown blobs pass through."""
+    end-to-end for the synthetic format, 8-bit gray/RGB/RGBA PNG,
+    24-bit BMP (re-emitted as BMP), and GIF (first frame decoded via
+    the LZW path, re-emitted as PNG — a documented format conversion:
+    there is no stdlib GIF re-encode for RGB frames). Formats we cannot
+    decode to pixels (JPEG, palette/16-bit PNG, RIFF) raise
+    NotImplementedError — a silent pass-through would be a resize that
+    quietly did nothing. Unknown blobs pass through."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -459,14 +661,16 @@ def resize_stub(media: DataFrame, max_side: int) -> DataFrame:
                     continue
                 if px is None:
                     raise NotImplementedError(
-                        f"resize of {fmt} (not an 8-bit gray/RGB/RGBA "
-                        "PNG) requires an external codec (PIL/cv2) — "
-                        "not available in this container"
+                        f"resize of {fmt} (no stdlib pixel decode for "
+                        "this variant) requires an external codec "
+                        "(PIL/cv2) — not available in this container"
                     )
                 step = max(1, max(w, h) // max_side)
                 img = px[: w * h * c].reshape(h, w, c)[::step, ::step]
-                if fmt == "png":
+                if fmt in ("png", "gif"):
                     out.append((int(mid), encode_png(img)))
+                elif fmt == "bmp":
+                    out.append((int(mid), encode_bmp(img)))
                 else:
                     out.append(
                         (int(mid), b"SYN0" + struct.pack("<II", img.shape[1], img.shape[0]) + img[:, :, 0].tobytes())
@@ -485,22 +689,31 @@ def resize_stub(media: DataFrame, max_side: int) -> DataFrame:
 
 
 def frame_sample_stub(media: DataFrame, every_n: int = 4) -> DataFrame:
-    """Video frame-sampling contract: one binary blob in → many frame
-    rows out (1:N via mapInPandas). Synthetic "video" = concatenated
-    synthetic images of equal size."""
+    """Video frame sampling: one binary blob in → many frame rows out
+    (1:N via mapInPandas). REAL for animated GIF — the one
+    web-video-ish format stdlib can decode — via the LZW path: every
+    `every_n`-th composited frame is re-emitted as a standalone PNG.
+    Synthetic "video" (concatenated SYN0 images of equal size) keeps
+    the original contract for containered formats (mp4/webm), whose
+    demux needs libav. Other/corrupt payloads yield no rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(raw)
-                if raw[:4] != b"SYN0":
-                    continue
-                w, h = struct.unpack("<II", raw[4:12])
-                frame_sz = 12 + w * h
-                n = len(raw) // frame_sz
-                for i in range(0, n, every_n):
-                    rows.append((int(mid), i, raw[i * frame_sz : (i + 1) * frame_sz]))
+                if raw[:4] == b"SYN0":
+                    w, h = struct.unpack("<II", raw[4:12])
+                    frame_sz = 12 + w * h
+                    n = len(raw) // frame_sz
+                    for i in range(0, n, every_n):
+                        rows.append(
+                            (int(mid), i, raw[i * frame_sz : (i + 1) * frame_sz])
+                        )
+                elif sniff_format(raw) == "gif":
+                    for i, frame in enumerate(decode_gif_frames(raw)):
+                        if i % every_n == 0:
+                            rows.append((int(mid), i, encode_png(frame)))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return media.mapInPandas(
