@@ -104,9 +104,9 @@ def main(argv: list[str] | None = None) -> int:
         for g in _generations(spark, args.gens):
             if g.get("delete_only"):
                 continue
-            p = _docs_path(args.gens, g["gen"])
-            sel = _prune_doc_files(p, ids)
-            paths.extend([p] if sel is None else sel)
+            dpath = _docs_path(args.gens, g["gen"])
+            sel = _prune_doc_files(dpath, ids)
+            paths.extend([dpath] if sel is None else sel)
         docs = spark.read.parquet(*paths) if paths else None
         if docs is None:
             docs = spark.read.parquet(

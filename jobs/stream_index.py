@@ -74,11 +74,20 @@ def main(argv: list[str] | None = None) -> int:
     # <dir>/*) or an explicit glob, used verbatim. The old rule appended
     # '/*' to anything not ending in a bare '*', so 'dir/*.parquet'
     # became 'dir/*.parquet/*' — a path matching nothing.
-    # only '*' and '?' mark a glob: '[' also appears in literal dir
-    # names ('batches[eu]'), and treating those as globs passed them
-    # verbatim — the stream silently watched nothing
+    # only '*' and '?' mark a user-intended glob; '[' also appears in
+    # literal dir names ('batches[eu]'). Hadoop's path globbing treats
+    # [ ] { } as metacharacters even inside the directory part, so a
+    # literal path must have them backslash-escaped BEFORE '/*' is
+    # appended — otherwise '[eu]' silently becomes a character class
+    # and the stream watches nothing.
+    import re as _re
+
     is_glob = any(ch in args.input for ch in "*?")
-    stream_path = args.input if is_glob else args.input.rstrip("/") + "/*"
+    stream_path = (
+        args.input
+        if is_glob
+        else _re.sub(r"([\[\]{}])", r"\\\1", args.input.rstrip("/")) + "/*"
+    )
 
     if args.synth_batch:
         from theoremsearch_spark.corpus import generate_documents

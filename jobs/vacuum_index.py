@@ -50,30 +50,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--dry-run", action="store_true",
-        help="report what would be deleted without touching disk",
+        help="run the exact selection (grace window included) but delete "
+        "nothing — the preview cannot disagree with a real run",
     )
     args = p.parse_args(argv)
 
-    from theoremsearch_spark.streaming.incremental import (
-        _raw_generations,
-        vacuum_generations,
-    )
+    from theoremsearch_spark.streaming.incremental import vacuum_generations
 
     t0 = time.monotonic()
-    if args.dry_run:
-        import os
-
-        candidates = sorted(
-            {
-                int(g)
-                for r in _raw_generations(args.root)
-                for g in r.get("replaces", [])
-                if os.path.isdir(f"{args.root}/gen_{g}")
-            }
-        )
-        res = {"dry_run": True, "candidates": candidates}
-    else:
-        res = vacuum_generations(args.root, min_age_seconds=args.min_age)
+    res = vacuum_generations(
+        args.root, min_age_seconds=args.min_age, dry_run=args.dry_run
+    )
     out = {"job": "vacuum_index", **res,
            "wall_sec": round(time.monotonic() - t0, 2)}
     print(json.dumps(out))

@@ -401,7 +401,7 @@ def _lzw_literal_stream(codes, mcs):
 
 
 def _gif_encode(frames, palette, W, H, rects=None, interlace_idx=None,
-                transparent=None):
+                transparent=None, gce_frames=None):
     import struct as st
 
     nbits = max(1, (len(palette) - 1).bit_length())
@@ -411,7 +411,8 @@ def _gif_encode(frames, palette, W, H, rects=None, interlace_idx=None,
     pal[: len(palette)] = palette
     out += pal.tobytes()
     for fi, fr in enumerate(frames):
-        if transparent is not None and fi > 0:
+        wants_gce = (fi in gce_frames) if gce_frames is not None else fi > 0
+        if transparent is not None and wants_gce:
             out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
         x, y = rects[fi] if rects else (0, 0)
         fh, fw = fr.shape
@@ -462,7 +463,14 @@ def test_gif_lzw_frame_decode_and_compositing(spark):
     assert len(got) == 1 and (got[0] == palette[fi]).all()
 
     # corrupt stream: truncated mid-frame -> no crash, no bogus frames
-    assert list(decode_gif_frames(raw[: len(raw) // 2])) in ([], [frames[0]])
+    # (either nothing or exactly the complete first frame survives)
+    part = list(decode_gif_frames(raw[: len(raw) // 2]))
+    assert len(part) <= 1
+    if part:
+        assert (part[0] == frames[0]).all()
+    # truncated global color table -> no crash, no frames
+    assert list(decode_gif_frames(raw[:12])) == []
+    assert list(decode_gif_frames(b"GIF89a" + raw[6:14])) == []
 
 
 def test_bmp_pixel_roundtrip_and_resize(spark):
@@ -513,3 +521,25 @@ def test_gif_frame_sample_emits_real_pngs(spark):
         px, c = decode_png_pixels(bytes(blob))
         assert c == 3
         assert (px.reshape(8, 8, 3) == want[fno]).all()
+
+
+def test_gif_transparency_scoped_to_one_frame(spark):
+    """A Graphic Control Extension applies to exactly ONE image: a
+    later frame with no GCE that legitimately uses the old transparent
+    index as an opaque color must render it, not punch holes."""
+    from theoremsearch_spark.functions.multimodal import decode_gif_frames
+
+    palette = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    f0 = np.full((4, 4), 2, dtype=np.uint8)
+    f0[0, 0] = 7  # transparent in frame 0 -> background shows through
+    f1 = np.full((4, 4), 7, dtype=np.uint8)  # 7 is OPAQUE here (no GCE)
+    # GCE(T=7) before frame 0 ONLY; frame 1 has no GCE
+    raw = _gif_encode([f0, f1], palette, 4, 4, transparent=7, gce_frames={0})
+    frames = list(decode_gif_frames(raw))
+    assert len(frames) == 2
+    # frame 0: (0,0) transparent -> background color (palette[0]) shows
+    assert (frames[0][0, 0] == palette[0]).all()
+    assert (frames[0][1:, :] == palette[2]).all()
+    # frame 1: index 7 is opaque (a stale transparent would keep
+    # frame 0's pixels everywhere and leave the canvas unchanged)
+    assert (frames[1] == palette[7]).all()

@@ -425,6 +425,8 @@ def decode_gif_frames(raw: bytes, max_frames: int | None = None):
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + n * 3 > len(raw):
+            return  # truncated global color table — corrupt, no frames
         gct = np.frombuffer(raw, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     canvas = np.zeros((H_, W_, 3), dtype=np.uint8)
@@ -498,6 +500,10 @@ def decode_gif_frames(raw: bytes, max_frames: int | None = None):
             rect[mask] = px[mask]
         else:
             rect[:] = px
+        # a Graphic Control Extension scopes to the ONE rendering block
+        # that follows it (GIF89a spec) — a stale transparent index
+        # would punch holes in later frames that legitimately use it
+        transparent = None
         yield canvas.copy()
         emitted += 1
         if max_frames is not None and emitted >= max_frames:

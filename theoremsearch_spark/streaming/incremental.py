@@ -404,7 +404,9 @@ def compact_generations(
             "replaced": [g["gen"] for g in gens]}
 
 
-def vacuum_generations(out_dir: str, min_age_seconds: float = 0.0) -> dict:
+def vacuum_generations(
+    out_dir: str, min_age_seconds: float = 0.0, dry_run: bool = False
+) -> dict:
     """Physically delete generation directories superseded by a
     compaction — the space-reclaim half of the LSM lifecycle
     (`compact_generations` swaps readers atomically and leaves the old
@@ -429,7 +431,9 @@ def vacuum_generations(out_dir: str, min_age_seconds: float = 0.0) -> dict:
 
     Returns {"vacuumed": [gen, ...], "kept_young": [gen, ...],
     "bytes_freed": int}; already-removed dirs are skipped silently, so
-    repeated vacuums are no-ops."""
+    repeated vacuums are no-ops. `dry_run=True` runs the SAME selection
+    (including the grace window) but deletes nothing — the preview can
+    never disagree with what a real run would do."""
     import os
     import shutil
     import time
@@ -463,9 +467,13 @@ def vacuum_generations(out_dir: str, min_age_seconds: float = 0.0) -> dict:
                     freed += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
-        shutil.rmtree(gd)
+        if not dry_run:
+            shutil.rmtree(gd)
         vacuumed.append(g)
-    return {"vacuumed": vacuumed, "kept_young": kept_young, "bytes_freed": freed}
+    out = {"vacuumed": vacuumed, "kept_young": kept_young, "bytes_freed": freed}
+    if dry_run:
+        out["dry_run"] = True
+    return out
 
 
 def _with_filter_terms(docs: DataFrame, filter_cols) -> tuple[DataFrame, list[str]]:
