@@ -1,0 +1,104 @@
+"""spark-submit entry: build and query a persisted IVF ANN index.
+
+Usage:
+  # build: partition the embeddings table into cell=N dirs
+  spark-submit --py-files theoremsearch_spark.zip jobs/ann_index.py \
+      build --embeddings <parquet with (vec_id, embedding)> \
+      --out <index dir> [--centroids 64]
+
+  # search: top-k cosine for query vectors, reading only probed cells
+  spark-submit --py-files theoremsearch_spark.zip jobs/ann_index.py \
+      search --index <index dir> \
+      [--queries <parquet with (query_id, qvec)> | --self-queries N] \
+      [--k 10] [--probe 8] [--out <parquet path>]
+
+The persisted analog of the in-memory `ann_ivf_topk`: cells are parquet
+partition directories, so a probe is a directory read —
+O(n_probe/n_centroids) of the corpus per query batch, the same physics
+as the posting-list index. Replaces the reference's pgvector `<#>` scan
+(/root/reference/streamlit_app.py:275,281) with a Spark-native layout.
+
+Prints one JSON line per invocation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["build", "search"])
+    p.add_argument("--embeddings", help="build: source parquet (vec_id, embedding)")
+    p.add_argument("--out", help="build: index dir / search: result parquet")
+    p.add_argument("--index", help="search: index dir from build")
+    p.add_argument("--centroids", type=int, default=None)
+    p.add_argument("--queries", help="search: parquet with (query_id, qvec)")
+    p.add_argument(
+        "--self-queries", type=int, default=0,
+        help="search: use the first N indexed vectors as queries",
+    )
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--probe", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName(f"ts-ann-{args.mode}").getOrCreate()
+    from pyspark.sql import functions as F
+
+    from theoremsearch_spark.functions.similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        ann_ivf_search,
+        build_ann_index,
+    )
+
+    t0 = time.monotonic()
+    if args.mode == "build":
+        if not (args.embeddings and args.out):
+            p.error("build requires --embeddings and --out")
+        emb = spark.read.parquet(args.embeddings).select("vec_id", "embedding")
+        res = build_ann_index(
+            emb, args.out, n_centroids=args.centroids or N_CENTROIDS
+        )
+        out = {"job": "ann_index_build", **res}
+    else:
+        if not args.index:
+            p.error("search requires --index")
+        if args.self_queries:
+            qp = (
+                spark.read.option("basePath", f"{args.index}/cells")
+                .parquet(f"{args.index}/cells")
+                .filter(F.col("vec_id") < args.self_queries)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec"),
+                )
+                .toPandas()
+            )
+        elif args.queries:
+            qp = spark.read.parquet(args.queries).toPandas()[["query_id", "qvec"]]
+        else:
+            p.error("search requires --queries or --self-queries")
+        hits = ann_ivf_search(
+            spark, args.index, qp, k=args.k, n_probe=args.probe or N_PROBE
+        )
+        if args.out:
+            hits.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        else:
+            hits.orderBy("query_id", "rnk").show(20, truncate=False)
+            n = hits.count()
+        out = {"job": "ann_index_search", "queries": len(qp), "result_rows": n}
+    out["wall_sec"] = round(time.monotonic() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -158,3 +158,43 @@ def test_ivf_assignment_plan_is_centroid_count_free(spark, emb_frames):
     assert "ArrowEvalPython" in plan or "cell_of" in plan
     # the old shape embedded one aggregate(zip_with(...)) per centroid
     assert plan.count("zip_with") + plan.count("aggregate(") < 10
+
+
+def test_persisted_ivf_reads_only_probed_cells(spark, emb_frames, tmp_path):
+    """build_ann_index writes cell=N partition dirs; ann_ivf_search
+    must (a) read ONLY the probed cells' files (inputFiles lock — the
+    10^12-row IO property) and (b) keep recall@10 >= 0.8 vs brute
+    force on the clustered fixture."""
+    import glob
+    import os
+
+    from theoremsearch_spark.functions.similarity import (
+        N_PROBE,
+        ann_ivf_search,
+        build_ann_index,
+    )
+
+    emb, queries = emb_frames
+    out = str(tmp_path / "ivf")
+    res = build_ann_index(emb, out)
+    assert res["n_vectors"] == N_CLUSTERS * PER_CLUSTER
+    cell_dirs = glob.glob(f"{out}/cells/cell=*")
+    assert len(cell_dirs) > N_PROBE  # pruning is meaningful
+
+    qp = queries.toPandas()
+    hits = ann_ivf_search(spark, out, qp, k=K)
+    read_cells = {
+        os.path.basename(os.path.dirname(f)) for f in hits.inputFiles()
+    }
+    probed_max = len(qp) * N_PROBE
+    assert 0 < len(read_cells) <= min(probed_max, len(cell_dirs))
+    assert len(read_cells) < len(cell_dirs), "no cell pruning happened"
+
+    got = hits.toPandas()
+    exact = brute_force_topk(emb, queries, k=K).toPandas()
+    recalls = []
+    for q in range(N_QUERIES):
+        want = set(exact.loc[exact["query_id"] == q, "vec_id"].astype(int))
+        g = set(got.loc[got["query_id"] == q, "vec_id"].astype(int))
+        recalls.append(len(want & g) / len(want))
+    assert float(np.mean(recalls)) >= 0.8, recalls

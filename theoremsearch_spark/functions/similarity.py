@@ -278,6 +278,120 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, qp, dim, k=10).orderBy("query_id", "rnk")
 
 
+def build_ann_index(
+    emb: DataFrame, out_dir: str,
+    n_centroids: int = N_CENTROIDS,
+) -> dict:
+    """Persist an IVF index: corpus vectors land in parquet partitioned
+    by their cell (`cell=N/` dirs), centroids + metadata in a JSON
+    sidecar. This is the ANN analog of the posting-list index — at
+    10^12 rows a probe must be a PARTITION-DIRECTORY read, not a
+    filter over one monolithic table: `ann_ivf_search` lists only the
+    probed `cell=` dirs, so IO per query batch is
+    O(n_probe/n_centroids) of the corpus with zero footer reads
+    outside the probed cells. The cell column is written by the same
+    Arrow-batched matmul UDF as the in-memory path (one `X @ C.T`
+    argmax per batch; plan size independent of centroid count)."""
+    import json
+    import os
+
+    spark = emb.sparkSession
+    n = emb.count()
+    stride = max(1, n // min(n, KMEANS_SAMPLE))
+    sample = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(KMEANS_SAMPLE)
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    C = _kmeans_spherical(X, min(n_centroids, len(X)))
+
+    from pyspark.sql.functions import pandas_udf
+
+    C_bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        Xb = np.vstack(embs.to_numpy()).astype(np.float64)
+        return pd.Series((Xb @ C_bc.value.T).argmax(axis=1).astype(np.int32))
+
+    (
+        emb.withColumn("cell", cell_of("embedding"))
+        .repartition("cell")  # one writer task per cell: no tiny files
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_dir}/cells")
+    )
+    meta = {
+        "n_vectors": int(n),
+        "n_centroids": int(C.shape[0]),
+        "dim": int(C.shape[1]),
+        "centroids": [[float(x) for x in row] for row in C],
+    }
+    tmp = f"{out_dir}/.ivf_meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, f"{out_dir}/ivf_meta.json")
+    return {"n_vectors": int(n), "n_centroids": int(C.shape[0])}
+
+
+def ann_ivf_search(
+    spark, out_dir: str, queries_pdf, k: int = 10, n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF index (`build_ann_index`):
+    per-query probe cells are computed driver-side against the stored
+    centroids, and the scan reads ONLY the probed `cell=N` partition
+    dirs — point-lookup physics for vectors. Scoring is the same
+    codegen cosine + per-query window top-k as the in-memory path."""
+    import json
+    import os
+
+    with open(f"{out_dir}/ivf_meta.json") as fh:
+        meta = json.load(fh)
+    C = np.array(meta["centroids"], dtype=np.float64)
+
+    Q = np.array(list(queries_pdf["qvec"]), dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    sims = Qn @ C.T
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, row in zip(queries_pdf["query_id"], sims)
+        for c in np.argsort(-row)[:n_probe]
+    ]
+    touched = sorted({c for _, c in probe_rows})
+    paths = [
+        p for c in touched
+        if os.path.isdir(p := f"{out_dir}/cells/cell={c}")
+    ]
+    if not paths:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos double, rnk int"
+        )
+    # basePath keeps the cell partition column parseable from the
+    # selected subdirectories
+    cells = (
+        spark.read.option("basePath", f"{out_dir}/cells")
+        .parquet(*paths)
+    )
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qv = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(queries_pdf["query_id"], Q)],
+        "query_id long, qvec array<double>",
+    )
+    cand = cells.join(F.broadcast(probes.join(qv, "query_id")), "cell")
+    scored = cand.select(
+        "query_id", "vec_id", F.round(_cosine("qvec", "embedding"), 4).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs among the first 50 vectors
     (exact, small block ⇒ SQL oracle)."""

@@ -359,7 +359,19 @@ def compact_generations(
         )
     new_gen = _next_negative_gen(out_dir)
     new_dir = f"{out_dir}/gen_{new_gen}"
-    docs.write.mode("overwrite").parquet(f"{new_dir}/docs")
+    # range-partition by doc_id so the compacted files carry DISJOINT id
+    # spans: the _id_ranges sidecar then gives serving's metadata joins
+    # true point lookups on the biggest docs table in the root. One
+    # extra range shuffle inside a job that already rewrites everything.
+    (
+        docs.repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{new_dir}/docs")
+    )
+    from theoremsearch_spark.stats import write_id_range_manifest
+
+    write_id_range_manifest(f"{new_dir}/docs")
     docs = spark.read.parquet(f"{new_dir}/docs")
     n = docs.count()
     # preserve filter-term indexing across the rewrite: when every
@@ -609,6 +621,13 @@ def incremental_index(
         if base:
             docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(base))
             docs.write.mode("overwrite").parquet(f"{gen_dir}/docs_offset")
+            # id-range sidecar for the offset table too, so the --gens
+            # metadata join gets file-level pruning on streamed
+            # generations (prepare_docs wrote one for gen_dir/docs, but
+            # serving reads docs_offset when it exists)
+            from theoremsearch_spark.stats import write_id_range_manifest
+
+            write_id_range_manifest(f"{gen_dir}/docs_offset")
             docs = spark.read.parquet(f"{gen_dir}/docs_offset")
         n = docs.count()
         docs, fcols = _with_filter_terms(docs, filter_cols)
