@@ -12,6 +12,17 @@ Usage:
       [--queries <parquet with (query_id, qvec)> | --self-queries N] \
       [--k 10] [--probe 8] [--out <parquet path>]
 
+  # add: append a batch as a new generation (frozen quantizer);
+  # ids with a stored prior version are tombstoned via the key index
+  spark-submit ... jobs/ann_index.py add --embeddings <parquet> --index <dir> \
+      [--no-upsert]
+
+  # delete: tombstone ids out of serving (pure metadata write)
+  spark-submit ... jobs/ann_index.py delete --index <dir> --ids 3,17,42
+
+  # compact: rewrite cells dropping tombstoned rows, clear tombstones
+  spark-submit ... jobs/ann_index.py compact --index <dir>
+
 The persisted analog of the in-memory `ann_ivf_topk`: cells are parquet
 partition directories, so a probe is a directory read —
 O(n_probe/n_centroids) of the corpus per query batch, the same physics
@@ -33,10 +44,10 @@ from pyspark.sql import SparkSession
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("mode", choices=["build", "search"])
-    p.add_argument("--embeddings", help="build: source parquet (vec_id, embedding)")
+    p.add_argument("mode", choices=["build", "search", "add", "delete", "compact"])
+    p.add_argument("--embeddings", help="build/add: source parquet (vec_id, embedding)")
     p.add_argument("--out", help="build: index dir / search: result parquet")
-    p.add_argument("--index", help="search: index dir from build")
+    p.add_argument("--index", help="index dir from build (all modes but build)")
     p.add_argument("--centroids", type=int, default=None)
     p.add_argument("--queries", help="search: parquet with (query_id, qvec)")
     p.add_argument(
@@ -45,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--probe", type=int, default=None)
+    p.add_argument(
+        "--no-upsert", action="store_true",
+        help="add: skip the prior-version lookup (caller guarantees fresh ids)",
+    )
+    p.add_argument("--ids", help="delete: comma-separated vec_ids")
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"ts-ann-{args.mode}").getOrCreate()
@@ -53,8 +69,11 @@ def main(argv: list[str] | None = None) -> int:
     from theoremsearch_spark.functions.similarity import (
         N_CENTROIDS,
         N_PROBE,
+        add_to_ann_index,
         ann_ivf_search,
         build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
     )
 
     t0 = time.monotonic()
@@ -66,6 +85,23 @@ def main(argv: list[str] | None = None) -> int:
             emb, args.out, n_centroids=args.centroids or N_CENTROIDS
         )
         out = {"job": "ann_index_build", **res}
+    elif args.mode == "add":
+        if not (args.embeddings and args.index):
+            p.error("add requires --embeddings and --index")
+        emb = spark.read.parquet(args.embeddings).select("vec_id", "embedding")
+        res = add_to_ann_index(emb, args.index, upsert=not args.no_upsert)
+        out = {"job": "ann_index_add", **res}
+    elif args.mode == "delete":
+        if not (args.index and args.ids):
+            p.error("delete requires --index and --ids")
+        ids = [int(s) for s in args.ids.split(",") if s.strip()]
+        res = delete_from_ann_index(spark, args.index, ids)
+        out = {"job": "ann_index_delete", **res}
+    elif args.mode == "compact":
+        if not args.index:
+            p.error("compact requires --index")
+        res = compact_ann_index(spark, args.index)
+        out = {"job": "ann_index_compact", **res}
     else:
         if not args.index:
             p.error("search requires --index")

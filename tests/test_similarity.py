@@ -198,3 +198,80 @@ def test_persisted_ivf_reads_only_probed_cells(spark, emb_frames, tmp_path):
         g = set(got.loc[got["query_id"] == q, "vec_id"].astype(int))
         recalls.append(len(want & g) / len(want))
     assert float(np.mean(recalls)) >= 0.8, recalls
+
+
+def test_ann_index_lifecycle(spark, emb_frames, tmp_path):
+    """build → add(upsert) → delete → compact on the persisted IVF
+    index. Locks the LSM semantics: a re-embedded id never serves its
+    stale version (even from a different probed cell), only ids with a
+    stored prior version are tombstoned (key-index pruning — tombstones
+    are O(updated), not O(ingested)), deletes exclude and are
+    idempotent, and compact preserves serving bitwise while clearing
+    the tombstone set."""
+    import glob
+
+    from pyspark.sql import types as T
+
+    from theoremsearch_spark.functions.similarity import (
+        add_to_ann_index,
+        ann_ivf_search,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    emb, queries = emb_frames
+    out = str(tmp_path / "ivf")
+    build_ann_index(emb, out)
+    qp = queries.toPandas()
+
+    # batch: vec 0 re-embedded into cluster 7, plus one genuinely new id
+    # (999) planted in cluster 3
+    emb_pdf = emb.toPandas()
+    v_c7 = [float(x) for x in emb_pdf.loc[emb_pdf.vec_id == 75, "embedding"].iloc[0]]
+    v_c3 = [float(x) for x in emb_pdf.loc[emb_pdf.vec_id == 35, "embedding"].iloc[0]]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    batch = spark.createDataFrame([(0, v_c7), (999, v_c3)], schema)
+    res = add_to_ann_index(batch, out)
+    assert res == {"added": 2, "replaced": 1, "generation": 1}
+
+    # tombstones hold ONLY the replaced id — not the new id 999
+    tomb = spark.read.parquet(f"{out}/tombstones").toPandas()
+    assert list(tomb.vec_id) == [0] and list(tomb.upto_gen) == [0]
+
+    got = ann_ivf_search(spark, out, qp, k=K).toPandas()
+    q0 = set(got.loc[got.query_id == 0, "vec_id"].astype(int))
+    q7 = set(got.loc[got.query_id == 7, "vec_id"].astype(int))
+    q3 = set(got.loc[got.query_id == 3, "vec_id"].astype(int))
+    assert 0 not in q0, "stale version of re-embedded id served"
+    assert 0 in q7, "fresh version not served from its new cell"
+    assert 999 in q3, "appended new id not served"
+
+    # delete cluster 7's own members; its adopted member (vec 0) stays
+    res = delete_from_ann_index(spark, out, list(range(70, 80)))
+    assert res == {"deleted": 10}
+    assert delete_from_ann_index(spark, out, list(range(70, 80))) == {
+        "deleted": 0
+    }, "delete not idempotent"
+    got2 = ann_ivf_search(spark, out, qp, k=K).toPandas()
+    q7b = set(got2.loc[got2.query_id == 7, "vec_id"].astype(int))
+    assert q7b.isdisjoint(set(range(70, 80))), "deleted ids served"
+    assert 0 in q7b
+
+    # compact: serving identical, tombstones gone, live count right
+    before = got2.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    res = compact_ann_index(spark, out)
+    assert res["compacted"] and res["n_vectors"] == N_CLUSTERS * PER_CLUSTER + 1 - 10
+    assert not glob.glob(f"{out}/tombstones/*")
+    after = (
+        ann_ivf_search(spark, out, qp, k=K)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)

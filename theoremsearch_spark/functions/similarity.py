@@ -278,6 +278,51 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, qp, dim, k=10).orderBy("query_id", "rnk")
 
 
+def _assign_cells(emb: DataFrame, C: np.ndarray) -> DataFrame:
+    """Attach the IVF cell id: one `X @ C.T` argmax per Arrow batch
+    against the broadcast centroids — plan size independent of
+    centroid count (see ann_ivf_topk's inline rationale)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C_bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        Xb = np.vstack(embs.to_numpy()).astype(np.float64)
+        return pd.Series((Xb @ C_bc.value.T).argmax(axis=1).astype(np.int32))
+
+    return emb.withColumn("cell", cell_of("embedding"))
+
+
+# vec_id → latest-generation key index, hash-partitioned into vb= dirs
+# (the streaming/incremental.py `ub=` keyindex pattern): an upserting
+# batch discovers its PRIOR versions by reading only the buckets its
+# ids hash into, so tombstones stay O(actually-updated ids) — never
+# O(ingested ids) — and the serve-time broadcast stays bounded.
+ANN_KEY_BUCKETS = 64
+
+
+def _vec_bucket(col):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(ANN_KEY_BUCKETS)).cast("int")
+
+
+def _read_ivf_meta(out_dir: str) -> dict:
+    import json
+
+    with open(f"{out_dir}/ivf_meta.json") as fh:
+        return json.load(fh)
+
+
+def _write_ivf_meta(out_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = f"{out_dir}/.ivf_meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, f"{out_dir}/ivf_meta.json")
+
+
 def build_ann_index(
     emb: DataFrame, out_dir: str,
     n_centroids: int = N_CENTROIDS,
@@ -289,12 +334,9 @@ def build_ann_index(
     filter over one monolithic table: `ann_ivf_search` lists only the
     probed `cell=` dirs, so IO per query batch is
     O(n_probe/n_centroids) of the corpus with zero footer reads
-    outside the probed cells. The cell column is written by the same
-    Arrow-batched matmul UDF as the in-memory path (one `X @ C.T`
-    argmax per batch; plan size independent of centroid count)."""
-    import json
-    import os
-
+    outside the probed cells. Rows carry a `gen` column (0 at build)
+    so add/delete can layer LSM-style generations on the same cells
+    (single-writer, like the text index's generation store)."""
     spark = emb.sparkSession
     n = emb.count()
     stride = max(1, n // min(n, KMEANS_SAMPLE))
@@ -308,33 +350,218 @@ def build_ann_index(
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
     C = _kmeans_spherical(X, min(n_centroids, len(X)))
 
-    from pyspark.sql.functions import pandas_udf
-
-    C_bc = spark.sparkContext.broadcast(C)
-
-    @pandas_udf("int")
-    def cell_of(embs: pd.Series) -> pd.Series:
-        Xb = np.vstack(embs.to_numpy()).astype(np.float64)
-        return pd.Series((Xb @ C_bc.value.T).argmax(axis=1).astype(np.int32))
-
     (
-        emb.withColumn("cell", cell_of("embedding"))
+        _assign_cells(emb, C)
+        .withColumn("gen", F.lit(0))
         .repartition("cell")  # one writer task per cell: no tiny files
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{out_dir}/cells")
     )
+    (
+        emb.select("vec_id")
+        .withColumn("gen", F.lit(0))
+        .withColumn("vb", _vec_bucket("vec_id"))
+        .repartition("vb")
+        .write.mode("overwrite")
+        .partitionBy("vb")
+        .parquet(f"{out_dir}/keyindex")
+    )
     meta = {
         "n_vectors": int(n),
         "n_centroids": int(C.shape[0]),
         "dim": int(C.shape[1]),
+        "generations": 1,
         "centroids": [[float(x) for x in row] for row in C],
     }
-    tmp = f"{out_dir}/.ivf_meta.json.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.rename(tmp, f"{out_dir}/ivf_meta.json")
+    _write_ivf_meta(out_dir, meta)
     return {"n_vectors": int(n), "n_centroids": int(C.shape[0])}
+
+
+def _touched_key_buckets(spark, out_dir: str, ids_df: DataFrame) -> DataFrame:
+    """FULL content of the `vb=` key-index bucket dirs that `ids_df`'s
+    ids hash into (≤ ANN_KEY_BUCKETS tiny ints to the driver, then a
+    partition-dir read: O(ids/B) of the key index, never a corpus
+    scan). Full content, not just the matching ids — the caller's
+    dynamic-partition overwrite rewrites whole buckets, so every
+    non-incoming id in a touched bucket must ride along or it is
+    silently dropped."""
+    import os
+
+    ki = f"{out_dir}/keyindex"
+    touched = {
+        r["vb"]
+        for r in ids_df.select(_vec_bucket("vec_id").alias("vb"))
+        .distinct()
+        .collect()
+    }
+    paths = [
+        p for b in sorted(touched)
+        if os.path.isdir(p := f"{ki}/vb={b}")
+    ]
+    if not paths:
+        return spark.createDataFrame([], "vec_id long, gen int, vb int")
+    return spark.read.option("basePath", ki).parquet(*paths)
+
+
+def _overwrite_key_buckets(merged: DataFrame, out_dir: str) -> None:
+    """Dynamic-partition overwrite of just the touched `vb=` dirs (the
+    ParquetBucketSink idiom — atomic per partition)."""
+    spark = merged.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.repartition("vb")
+        .write.mode("overwrite")
+        .partitionBy("vb")
+        .parquet(f"{out_dir}/keyindex")
+    )
+
+
+def add_to_ann_index(
+    emb_new: DataFrame, out_dir: str, upsert: bool = True,
+) -> dict:
+    """Append a batch of vectors to a persisted IVF index WITHOUT
+    retraining: the coarse quantizer is frozen at build (standard IVF
+    practice — cell boundaries must stay stable or every stored vector
+    would need reassignment), new vectors are matmul-assigned against
+    the stored centroids and appended into the same `cell=N` dirs as a
+    new generation. With `upsert=True`, ids that ALREADY have a stored
+    version — discovered via the vb= key index, reading only the
+    buckets this batch's ids hash into — get a tombstone
+    (vec_id, upto_gen = their recorded latest gen): serving drops any
+    candidate with gen ≤ its id's upto_gen, so a re-embedded vector
+    never serves stale even when the stale version sits in a probed
+    cell and the fresh one doesn't. Tombstones stay O(actually-updated
+    ids) between compactions — the broadcast at serve time is bounded
+    by churn, not corpus size. Batches must carry one row per vec_id;
+    single-writer, like build. With `upsert=False` (caller guarantees
+    fresh ids) the prior-version lookup and tombstone write are
+    skipped, but the key index still learns the new ids."""
+    spark = emb_new.sparkSession
+    meta = _read_ivf_meta(out_dir)
+    C = np.array(meta["centroids"], dtype=np.float64)
+    gen = int(meta["generations"])
+    n_new = emb_new.count()
+    (
+        _assign_cells(emb_new, C)
+        .withColumn("gen", F.lit(gen))
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{out_dir}/cells")
+    )
+    ids_new = emb_new.select("vec_id")
+    buckets = _touched_key_buckets(spark, out_dir, ids_new)
+    n_replaced = 0
+    if upsert:
+        stale = buckets.join(ids_new, "vec_id").select(
+            "vec_id", F.col("gen").alias("upto_gen")
+        )
+        n_replaced = stale.count()
+        if n_replaced:
+            stale.write.mode("append").parquet(f"{out_dir}/tombstones")
+    merged = (
+        buckets.join(ids_new, "vec_id", "left_anti")
+        .select("vec_id", "gen", "vb")
+        .unionByName(
+            ids_new.withColumn("gen", F.lit(gen)).withColumn(
+                "vb", _vec_bucket("vec_id")
+            )
+        )
+    )
+    # every touched bucket keeps its new rows, so each appears in the
+    # output and the dynamic overwrite rewrites exactly those dirs
+    _overwrite_key_buckets(merged, out_dir)
+    meta["generations"] = gen + 1
+    meta["n_vectors"] = int(meta["n_vectors"]) + int(n_new) - n_replaced
+    _write_ivf_meta(out_dir, meta)
+    return {"added": int(n_new), "replaced": int(n_replaced), "generation": gen}
+
+
+def delete_from_ann_index(spark, out_dir: str, vec_ids) -> dict:
+    """Tombstone vectors out of a persisted IVF index: every stored
+    generation of each id stops serving. Pure metadata write — no cell
+    file is touched; `compact_ann_index` reclaims the bytes. Only ids
+    the key index actually holds are tombstoned (idempotent: a repeat
+    delete finds nothing); the ids leave the key index so a later
+    `add` treats them as fresh — its higher gen outlives the old
+    tombstone (delete-then-reinsert, reference analog:
+    /root/reference/ec2/parse_arxiv_papers/__main__.py:269-283)."""
+    import shutil
+
+    ids_df = spark.createDataFrame(
+        [(int(v),) for v in vec_ids], "vec_id long"
+    )
+    buckets = _touched_key_buckets(spark, out_dir, ids_df)
+    hit = buckets.join(ids_df, "vec_id")
+    stale = hit.select("vec_id", F.col("gen").alias("upto_gen"))
+    n_del = stale.count()
+    if n_del:
+        stale.write.mode("append").parquet(f"{out_dir}/tombstones")
+        merged = buckets.join(ids_df, "vec_id", "left_anti").select(
+            "vec_id", "gen", "vb"
+        )
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # output — a bucket whose every row was deleted never appears,
+        # so its stale dir must be removed explicitly
+        touched = {r["vb"] for r in hit.select("vb").distinct().collect()}
+        kept = {r["vb"] for r in merged.select("vb").distinct().collect()}
+        if kept:
+            _overwrite_key_buckets(merged, out_dir)
+        for b in touched - kept:
+            shutil.rmtree(f"{out_dir}/keyindex/vb={b}", ignore_errors=True)
+        meta = _read_ivf_meta(out_dir)
+        meta["n_vectors"] = int(meta["n_vectors"]) - int(n_del)
+        _write_ivf_meta(out_dir, meta)
+    return {"deleted": int(n_del)}
+
+
+def compact_ann_index(spark, out_dir: str) -> dict:
+    """Rewrite the cells dropping every tombstoned row, then clear the
+    tombstone set — the vacuum analog for the vector store. Rewrites
+    into a fresh directory and atomically swaps (rename), so a crash
+    mid-compact leaves the old index intact."""
+    import os
+    import shutil
+
+    meta = _read_ivf_meta(out_dir)
+    cells_dir = f"{out_dir}/cells"
+    tomb_dir = f"{out_dir}/tombstones"
+    if not os.path.isdir(tomb_dir):
+        return {"compacted": False, "reason": "no tombstones"}
+    cells = spark.read.parquet(cells_dir)
+    live = _exclude_tombstoned(cells, spark.read.parquet(tomb_dir))
+    n_live = live.count()
+    tmp = f"{out_dir}/.cells.compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        live.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    old = f"{out_dir}/.cells.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(cells_dir, old)
+    os.rename(tmp, cells_dir)
+    shutil.rmtree(old)
+    shutil.rmtree(tomb_dir)
+    meta["n_vectors"] = int(n_live)
+    _write_ivf_meta(out_dir, meta)
+    return {"compacted": True, "n_vectors": int(n_live)}
+
+
+def _exclude_tombstoned(cand: DataFrame, tomb: DataFrame) -> DataFrame:
+    """Drop candidate rows superseded by the tombstone set: a row dies
+    when its id has a tombstone with upto_gen ≥ the row's gen. Max-
+    aggregated per id first (an id re-upserted N times has N tombstone
+    rows), then broadcast — tombstones are O(updated ids)."""
+    t_max = tomb.groupBy("vec_id").agg(F.max("upto_gen").alias("upto_gen"))
+    return (
+        cand.join(F.broadcast(t_max), "vec_id", "left")
+        .filter(F.col("upto_gen").isNull() | (F.col("gen") > F.col("upto_gen")))
+        .drop("upto_gen")
+    )
 
 
 def ann_ivf_search(
@@ -344,12 +571,13 @@ def ann_ivf_search(
     per-query probe cells are computed driver-side against the stored
     centroids, and the scan reads ONLY the probed `cell=N` partition
     dirs — point-lookup physics for vectors. Scoring is the same
-    codegen cosine + per-query window top-k as the in-memory path."""
-    import json
+    codegen cosine + per-query window top-k as the in-memory path.
+    Generations layered by add/delete are honored: candidates are
+    anti-filtered against the broadcast tombstone set before scoring,
+    so stale/deleted versions never reach the top-k."""
     import os
 
-    with open(f"{out_dir}/ivf_meta.json") as fh:
-        meta = json.load(fh)
+    meta = _read_ivf_meta(out_dir)
     C = np.array(meta["centroids"], dtype=np.float64)
 
     Q = np.array(list(queries_pdf["qvec"]), dtype=np.float64)
@@ -375,6 +603,9 @@ def ann_ivf_search(
         spark.read.option("basePath", f"{out_dir}/cells")
         .parquet(*paths)
     )
+    tomb_dir = f"{out_dir}/tombstones"
+    if os.path.isdir(tomb_dir):
+        cells = _exclude_tombstoned(cells, spark.read.parquet(tomb_dir))
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
     qv = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in zip(queries_pdf["query_id"], Q)],
