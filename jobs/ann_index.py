@@ -57,6 +57,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--probe", type=int, default=None)
     p.add_argument(
+        "--where",
+        help="search: SQL predicate over the index's stored metadata "
+        "columns, applied inside the probed-cell scan (filter-before-"
+        "rank; pair selective filters with a larger --probe)",
+    )
+    p.add_argument(
         "--no-upsert", action="store_true",
         help="add: skip the prior-version lookup (caller guarantees fresh ids)",
     )
@@ -80,7 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "build":
         if not (args.embeddings and args.out):
             p.error("build requires --embeddings and --out")
-        emb = spark.read.parquet(args.embeddings).select("vec_id", "embedding")
+        # every column beyond (vec_id, embedding) rides into the cells
+        # as filterable metadata for `search --where`
+        emb = spark.read.parquet(args.embeddings)
+        for c in ("vec_id", "embedding"):
+            if c not in emb.columns:
+                p.error(f"--embeddings parquet lacks required column {c!r}")
         res = build_ann_index(
             emb, args.out, n_centroids=args.centroids or N_CENTROIDS
         )
@@ -88,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.mode == "add":
         if not (args.embeddings and args.index):
             p.error("add requires --embeddings and --index")
-        emb = spark.read.parquet(args.embeddings).select("vec_id", "embedding")
+        # must carry the same metadata columns the index was built with
+        emb = spark.read.parquet(args.embeddings)
         res = add_to_ann_index(emb, args.index, upsert=not args.no_upsert)
         out = {"job": "ann_index_add", **res}
     elif args.mode == "delete":
@@ -121,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             p.error("search requires --queries or --self-queries")
         hits = ann_ivf_search(
-            spark, args.index, qp, k=args.k, n_probe=args.probe or N_PROBE
+            spark, args.index, qp, k=args.k, n_probe=args.probe or N_PROBE,
+            where=args.where,
         )
         if args.out:
             hits.write.mode("overwrite").parquet(args.out)

@@ -200,6 +200,51 @@ def test_persisted_ivf_reads_only_probed_cells(spark, emb_frames, tmp_path):
     assert float(np.mean(recalls)) >= 0.8, recalls
 
 
+def test_ann_ivf_search_filtered(spark, emb_frames, tmp_path):
+    """Metadata-filtered vector search on the persisted IVF index
+    (the reference's `WHERE filters ORDER BY embedding <#> q` shape,
+    /root/reference/streamlit_app.py:275-282): `where` predicates over
+    stored metadata columns (a) never leak a non-matching row, (b) are
+    PUSHED into the probed-cell parquet scan (PushedFilters lock), and
+    (c) keep recall ≥ 0.8 vs the exact filtered baseline. A mismatched
+    add-batch schema raises instead of appending silent-null metadata."""
+    from pyspark.sql import functions as F
+
+    from theoremsearch_spark.functions.similarity import (
+        add_to_ann_index,
+        ann_ivf_search,
+        build_ann_index,
+    )
+
+    emb, queries = emb_frames
+    embL = emb.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    out = str(tmp_path / "ivf_meta")
+    build_ann_index(embL, out)
+    qp = queries.toPandas()
+
+    hits = ann_ivf_search(spark, out, qp, k=5, where="label = 0")
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters", 1)[1][:200]
+
+    got = hits.toPandas()
+    assert len(got) and (got.vec_id % 2 == 0).all(), "filter leaked odd ids"
+
+    exact = brute_force_topk(
+        embL.filter("label = 0"), queries, k=5
+    ).toPandas()
+    recalls = []
+    for q in range(N_QUERIES):
+        want = set(exact.loc[exact.query_id == q, "vec_id"].astype(int))
+        g = set(got.loc[got.query_id == q, "vec_id"].astype(int))
+        recalls.append(len(want & g) / len(want))
+    assert float(np.mean(recalls)) >= 0.8, recalls
+
+    # schema drift guard: an add batch missing the metadata column dies
+    # loudly, never appends silent nulls
+    with pytest.raises(ValueError, match="metadata columns"):
+        add_to_ann_index(emb.limit(1), out)
+
+
 def test_ann_index_lifecycle(spark, emb_frames, tmp_path):
     """build → add(upsert) → delete → compact on the persisted IVF
     index. Locks the LSM semantics: a re-embedded id never serves its

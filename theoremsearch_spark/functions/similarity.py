@@ -336,7 +336,14 @@ def build_ann_index(
     O(n_probe/n_centroids) of the corpus with zero footer reads
     outside the probed cells. Rows carry a `gen` column (0 at build)
     so add/delete can layer LSM-style generations on the same cells
-    (single-writer, like the text index's generation store)."""
+    (single-writer, like the text index's generation store).
+
+    Any column of `emb` beyond (vec_id, embedding) is stored in the
+    cells verbatim as FILTERABLE METADATA: `ann_ivf_search(where=...)`
+    pushes predicates on those columns into the probed-cell parquet
+    scan — the reference's `WHERE filters ORDER BY embedding <#> q`
+    shape (/root/reference/streamlit_app.py:275-282). `add` batches
+    must carry the same columns."""
     spark = emb.sparkSession
     n = emb.count()
     stride = max(1, n // min(n, KMEANS_SAMPLE))
@@ -372,6 +379,7 @@ def build_ann_index(
         "n_centroids": int(C.shape[0]),
         "dim": int(C.shape[1]),
         "generations": 1,
+        "columns": sorted(emb.columns),
         "centroids": [[float(x) for x in row] for row in C],
     }
     _write_ivf_meta(out_dir, meta)
@@ -439,6 +447,14 @@ def add_to_ann_index(
     skipped, but the key index still learns the new ids."""
     spark = emb_new.sparkSession
     meta = _read_ivf_meta(out_dir)
+    expected = meta.get("columns")
+    if expected is not None and sorted(emb_new.columns) != expected:
+        raise ValueError(
+            f"add batch columns {sorted(emb_new.columns)} != index columns "
+            f"{expected}: metadata columns must match the build schema "
+            "(a mismatched append would surface as silent nulls under "
+            "`search(where=...)`)"
+        )
     C = np.array(meta["centroids"], dtype=np.float64)
     gen = int(meta["generations"])
     n_new = emb_new.count()
@@ -566,6 +582,7 @@ def _exclude_tombstoned(cand: DataFrame, tomb: DataFrame) -> DataFrame:
 
 def ann_ivf_search(
     spark, out_dir: str, queries_pdf, k: int = 10, n_probe: int = N_PROBE,
+    where: str | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a persisted IVF index (`build_ann_index`):
     per-query probe cells are computed driver-side against the stored
@@ -574,7 +591,17 @@ def ann_ivf_search(
     codegen cosine + per-query window top-k as the in-memory path.
     Generations layered by add/delete are honored: candidates are
     anti-filtered against the broadcast tombstone set before scoring,
-    so stale/deleted versions never reach the top-k."""
+    so stale/deleted versions never reach the top-k.
+
+    `where` is a SQL predicate over the index's stored metadata columns
+    (filter-before-rank, P11 applied to vectors): it lands directly on
+    the cell scan, so Catalyst pushes it into the parquet reader —
+    non-matching row groups inside probed cells are skipped at the
+    footer level. Recall caveat inherent to IVF: a highly selective
+    filter shrinks the candidate pool WITHIN the probed cells, so pair
+    selective filters with a larger `n_probe` (the reference's pgvector
+    scan has the same property — its index degrades to post-filtering:
+    /root/reference/streamlit_app.py:275-282)."""
     import os
 
     meta = _read_ivf_meta(out_dir)
@@ -603,6 +630,10 @@ def ann_ivf_search(
         spark.read.option("basePath", f"{out_dir}/cells")
         .parquet(*paths)
     )
+    if where is not None:
+        # filter-before-rank: lands on the scan node, Catalyst pushes
+        # it into the parquet reader of the probed cells
+        cells = cells.filter(where)
     tomb_dir = f"{out_dir}/tombstones"
     if os.path.isdir(tomb_dir):
         cells = _exclude_tombstoned(cells, spark.read.parquet(tomb_dir))
@@ -620,6 +651,25 @@ def ann_ivf_search(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cos", "rnk")
+    )
+
+
+def q_ann_filtered_topk(spark, sf_dir):
+    """Filtered vector search, exact baseline: metadata predicate first
+    (filter-before-rank, P11 applied to vectors), then cosine top-k —
+    the reference's `WHERE filters ORDER BY embedding <#> q` shape
+    (/root/reference/streamlit_app.py:275-282). Deterministic ⇒ SQL
+    oracle; the IVF-served variant (`ann_ivf_search(where=...)`) applies
+    the same predicate inside the probed-cell scan and is recall-locked
+    by pytest against this exact result."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return (
+        brute_force_topk(emb.filter(F.col("label") == 1), queries, k=10)
+        .orderBy("query_id", "rnk")
     )
 
 
@@ -655,6 +705,7 @@ def q_embedding_near_dup(spark, sf_dir):
 
 QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_topk": q_ann_lsh_topk,  # probabilistic — rows-only check
     "ann_ivf_topk": q_ann_ivf_topk,  # probabilistic — rows-only check
     "embedding_near_dup": q_embedding_near_dup,
@@ -668,6 +719,21 @@ ORACLES = {
             SELECT q.query_id, e.vec_id,
                    round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS cos
             FROM embeddings e CROSS JOIN q),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+            FROM scored)
+        SELECT query_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
+        ORDER BY query_id, rnk
+    """,
+    "ann_filtered_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+                   FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.label = 1),
         ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
