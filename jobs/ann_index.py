@@ -57,6 +57,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--probe", type=int, default=None)
     p.add_argument(
+        "--rescore-col",
+        help="search: stored metadata column for the two-stage weighted "
+        "rescore (wscore = cos + weight*ln(col); the reference's "
+        "citation-weight mode)",
+    )
+    p.add_argument("--rescore-weight", type=float, default=0.05)
+    p.add_argument(
+        "--pool", type=int, default=None,
+        help="search: candidate pool per query before rescoring "
+        "(default max(50, 10k))",
+    )
+    p.add_argument(
         "--where",
         help="search: SQL predicate over the index's stored metadata "
         "columns, applied inside the probed-cell scan (filter-before-"
@@ -134,7 +146,8 @@ def main(argv: list[str] | None = None) -> int:
             p.error("search requires --queries or --self-queries")
         hits = ann_ivf_search(
             spark, args.index, qp, k=args.k, n_probe=args.probe or N_PROBE,
-            where=args.where,
+            where=args.where, rescore_col=args.rescore_col,
+            rescore_weight=args.rescore_weight, pool=args.pool,
         )
         if args.out:
             hits.write.mode("overwrite").parquet(args.out)

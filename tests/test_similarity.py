@@ -245,6 +245,53 @@ def test_ann_ivf_search_filtered(spark, emb_frames, tmp_path):
         add_to_ann_index(emb.limit(1), out)
 
 
+def test_ann_ivf_search_rescored(spark, emb_frames, tmp_path):
+    """Two-stage weighted rescore on the persisted index (the
+    reference's citation-weight mode): a planted high-prior cluster
+    member must outrank its cosine superiors via the
+    `cos + w·ln(prior)` bonus; zero-bonus priors (ln(1)=0, prior≤0)
+    leave cosine order intact; result agrees with the exact
+    `ann_rescored_topk` formula on the same corpus (recall ≥ 0.8)."""
+    from pyspark.sql import functions as F
+
+    from theoremsearch_spark.functions.similarity import (
+        ann_ivf_search,
+        ann_rescored_topk,
+        build_ann_index,
+    )
+
+    emb, queries = emb_frames
+    # vec 5 (a non-seed member of query 0's cluster) gets a huge prior;
+    # everyone else prior=1 → ln(1)=0, pure cosine order
+    embP = emb.withColumn(
+        "prior",
+        F.when(F.col("vec_id") == 5, F.lit(10**9)).otherwise(F.lit(1)).cast("long"),
+    )
+    out = str(tmp_path / "ivf_prior")
+    build_ann_index(embP, out)
+    qp = queries.toPandas()
+
+    got = ann_ivf_search(spark, out, qp, k=K, rescore_col="prior").toPandas()
+    g0 = got.loc[got.query_id == 0].sort_values("rnk")
+    assert int(g0.iloc[0].vec_id) == 5, "high-prior member not boosted to rank 1"
+    # per-query results are ordered by wscore (desc) — the re-rank happened
+    for q in range(N_QUERIES):
+        ws = got.loc[got.query_id == q].sort_values("rnk").wscore.to_numpy()
+        assert (np.diff(ws) <= 1e-9).all()
+
+    prior = embP.select("vec_id", "prior")
+    exact = ann_rescored_topk(emb, queries, prior, k=K).toPandas()
+    recalls = []
+    for q in range(N_QUERIES):
+        want = set(exact.loc[exact.query_id == q, "vec_id"].astype(int))
+        g = set(got.loc[got.query_id == q, "vec_id"].astype(int))
+        recalls.append(len(want & g) / len(want))
+    assert float(np.mean(recalls)) >= 0.8, recalls
+    # the planted boost agrees between served and exact paths
+    e0 = exact.loc[exact.query_id == 0].sort_values("rnk")
+    assert int(e0.iloc[0].vec_id) == 5
+
+
 def test_ann_index_lifecycle(spark, emb_frames, tmp_path):
     """build → add(upsert) → delete → compact on the persisted IVF
     index. Locks the LSM semantics: a re-embedded id never serves its

@@ -583,6 +583,8 @@ def _exclude_tombstoned(cand: DataFrame, tomb: DataFrame) -> DataFrame:
 def ann_ivf_search(
     spark, out_dir: str, queries_pdf, k: int = 10, n_probe: int = N_PROBE,
     where: str | None = None,
+    rescore_col: str | None = None, rescore_weight: float = 0.05,
+    pool: int | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a persisted IVF index (`build_ann_index`):
     per-query probe cells are computed driver-side against the stored
@@ -601,7 +603,16 @@ def ann_ivf_search(
     filter shrinks the candidate pool WITHIN the probed cells, so pair
     selective filters with a larger `n_probe` (the reference's pgvector
     scan has the same property — its index degrades to post-filtering:
-    /root/reference/streamlit_app.py:275-282)."""
+    /root/reference/streamlit_app.py:275-282).
+
+    `rescore_col` turns on the reference's citation-weight mode
+    (/root/reference/streamlit_app.py:317-364) over a stored metadata
+    column: pool the top `max(50, 10k)` in-cell candidates by cosine,
+    rescore `wscore = cos + rescore_weight·ln(col) [col>0 else +0]`,
+    re-rank by (wscore DESC, cos DESC, vec_id ASC), keep k — the prior
+    rides in the cells, so no join is added to the serve path. Output
+    gains a `wscore` column; `ann_rescored_topk` is the exact oracle
+    for the same formula."""
     import os
 
     meta = _read_ivf_meta(out_dir)
@@ -643,14 +654,92 @@ def ann_ivf_search(
         "query_id long, qvec array<double>",
     )
     cand = cells.join(F.broadcast(probes.join(qv, "query_id")), "cell")
+    extra = [rescore_col] if rescore_col else []
     scored = cand.select(
-        "query_id", "vec_id", F.round(_cosine("qvec", "embedding"), 4).alias("cos")
+        "query_id",
+        "vec_id",
+        F.round(_cosine("qvec", "embedding"), 4).alias("cos"),
+        *extra,
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    if rescore_col is None:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "vec_id", "cos", "rnk")
+        )
+    pool = pool or max(50, 10 * k)
+    pooled = (
+        scored.withColumn("pool_rnk", F.row_number().over(w))
+        .filter(F.col("pool_rnk") <= pool)
+    )
+    wscore = F.round(
+        F.col("cos")
+        + F.lit(rescore_weight)
+        * F.when(
+            F.col(rescore_col) > 0, F.log(F.col(rescore_col).cast("double"))
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc("wscore"), F.desc("cos"), F.asc("vec_id")
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        pooled.withColumn("wscore", wscore)
+        .withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "cos", "rnk")
+        .select("query_id", "vec_id", "cos", "wscore", "rnk")
+    )
+
+
+def ann_rescored_topk(
+    emb: DataFrame, queries: DataFrame, prior: DataFrame,
+    k: int = 10, weight: float = 0.05, pool: int | None = None,
+) -> DataFrame:
+    """Two-stage weighted vector search, exact baseline — the
+    reference's citation-weight mode (/root/reference/
+    streamlit_app.py:317-364): pool the top `max(50, 10k)` candidates
+    by cosine, join the pool against a per-doc prior
+    (`prior`: vec_id, prior — the citations analog), rescore
+    `wscore = cos + weight·ln(prior) [prior>0 else +0]`, re-rank by
+    (wscore DESC, cos DESC, vec_id ASC) and keep k.
+
+    Scale shape: the pool is Q·pool rows (tiny) and is BROADCAST into
+    a single scan of the prior table — the big side never shuffles and
+    is never read outside that one pruned pass."""
+    pool = pool or max(50, 10 * k)
+    pooled = brute_force_topk(emb, queries, k=pool).drop("rnk")
+    joined = prior.join(F.broadcast(pooled), "vec_id")
+    wscore = F.round(
+        F.col("cos")
+        + F.lit(weight)
+        * F.when(F.col("prior") > 0, F.log(F.col("prior").cast("double"))).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("wscore"), F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        joined.select("query_id", "vec_id", "cos", wscore.alias("wscore"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos", "wscore", "rnk")
+    )
+
+
+def q_ann_rescored_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    prior = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("prior")
+    )
+    return ann_rescored_topk(emb, queries, prior, k=10, weight=0.05).orderBy(
+        "query_id", "rnk"
     )
 
 
@@ -706,6 +795,7 @@ def q_embedding_near_dup(spark, sf_dir):
 QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_filtered_topk": q_ann_filtered_topk,
+    "ann_rescored_topk": q_ann_rescored_topk,
     "ann_lsh_topk": q_ann_lsh_topk,  # probabilistic — rows-only check
     "ann_ivf_topk": q_ann_ivf_topk,  # probabilistic — rows-only check
     "embedding_near_dup": q_embedding_near_dup,
@@ -724,6 +814,32 @@ ORACLES = {
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
             FROM scored)
         SELECT query_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
+        ORDER BY query_id, rnk
+    """,
+    "ann_rescored_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+                   FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(q.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings e CROSS JOIN q),
+        pooled AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS pr
+            FROM scored),
+        resc AS (
+            SELECT p.query_id, p.vec_id, p.cos,
+                   round(p.cos + 0.05 * CASE WHEN d.n_chars > 0
+                                             THEN ln(CAST(d.n_chars AS DOUBLE))
+                                             ELSE 0 END, 4) AS wscore
+            FROM pooled p JOIN documents d ON d.doc_id = p.vec_id
+            WHERE p.pr <= 100),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY wscore DESC, cos DESC, vec_id ASC) AS rnk
+            FROM resc)
+        SELECT query_id, vec_id, cos, wscore, rnk FROM ranked WHERE rnk <= 10
         ORDER BY query_id, rnk
     """,
     "ann_filtered_topk": f"""
