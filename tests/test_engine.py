@@ -290,3 +290,29 @@ def test_topk_batched_identical_to_single_batch(spark, index_dir, corpus_pdf):
         whole.sort_values(key).reset_index(drop=True),
         chunked.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF fusion properties on planted rankings: a doc present in BOTH
+    lists at rank 2 (1/62+1/62) outranks each list's own rank-1 doc
+    (1/61); single-list docs contribute exactly 1/(60+rank); equal-rrf
+    ties break doc_id ASC; k truncates."""
+    from theoremsearch_spark.operators.engine_queries import RRF_K, rrf_fuse
+
+    text = spark.createDataFrame(
+        [(0, 100, 1), (0, 7, 2), (0, 300, 3)],
+        "query_id long, doc_id long, trank int",
+    )
+    vec = spark.createDataFrame(
+        [(0, 200, 1), (0, 7, 2), (0, 400, 3)],
+        "query_id long, doc_id long, vrank int",
+    )
+    got = rrf_fuse(text, vec, k=4).toPandas().sort_values("rnk")
+    assert list(got.doc_id) == [7, 100, 200, 300]
+    assert abs(got.iloc[0].rrf - 2 / (RRF_K + 2)) < 1e-6
+    # 100 (text rank 1) and 200 (vec rank 1) have the SAME rrf → the
+    # doc_id tiebreak must order 100 before 200
+    assert abs(got.iloc[1].rrf - got.iloc[2].rrf) < 1e-12
+    assert abs(got.iloc[1].rrf - 1 / (RRF_K + 1)) < 1e-6
+    # k=4 truncated doc 400 (rank 5 by doc_id tiebreak against 300)
+    assert 400 not in set(got.doc_id)

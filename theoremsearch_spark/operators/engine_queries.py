@@ -134,6 +134,98 @@ def q_bm25_topk_filtered(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 50  # per-list candidate pool before fusion
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid fulltext × vector search via reciprocal-rank fusion:
+    BM25 top-RRF_POOL (the real inverted index) and cosine top-RRF_POOL
+    (per-query vector = the query id's own embedding) are full-outer
+    merged on (query_id, doc_id) and rescored
+    `rrf = Σ 1/(RRF_K + rank_list)` — a doc present in both lists
+    outranks a same-rank doc present in one. The reference serves the
+    two modalities separately (pgvector `<#>` scan,
+    /root/reference/streamlit_app.py:275-282; slogan text match); this
+    is the fused serving shape a search engine runs on top of both
+    indexes. Scale: both inputs are ALREADY top-k outputs (Q·pool rows),
+    so the fusion join is driver-trivial no matter the corpus size."""
+    from theoremsearch_spark.functions.similarity import brute_force_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    text = topk(spark, idx, qs, k=RRF_POOL).select(
+        "query_id", "doc_id", F.col("rank").alias("trank")
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < len(HARNESS_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    vec = brute_force_topk(emb, qv, k=RRF_POOL).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rnk").alias("vrank")
+    )
+    return rrf_fuse(text, vec, k=K).orderBy("query_id", "rnk")
+
+
+def rrf_fuse(text, vec, k: int = K, rrf_k: int = RRF_K):
+    """Fuse two per-query rankings — (query_id, doc_id, trank) and
+    (query_id, doc_id, vrank) — by reciprocal-rank fusion: full-outer
+    merge, `rrf = Σ 1/(rrf_k + rank)` (an absent list contributes 0),
+    re-rank by (rrf DESC, doc_id ASC), keep k."""
+    fused = text.join(vec, ["query_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("trank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vrank")), F.lit(0.0)),
+        6,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.select("query_id", "doc_id", rrf.alias("rrf"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "rrf", "rnk")
+    )
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    return f"""
+        WITH {_bm25_scored_cte()},
+        tpool AS (
+            SELECT * FROM (
+                SELECT query_id, doc_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS trank
+                FROM scored)
+            WHERE trank <= {RRF_POOL}),
+        qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < {len(HARNESS_QUERIES)}),
+        vs AS (
+            SELECT qv.query_id, e.vec_id AS doc_id,
+                   round(list_cosine_similarity(qv.qvec, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings e CROSS JOIN qv),
+        vpool AS (
+            SELECT * FROM (
+                SELECT query_id, doc_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS vrank
+                FROM vs)
+            WHERE vrank <= {RRF_POOL}),
+        fused AS (
+            SELECT coalesce(t.query_id, v.query_id) AS query_id,
+                   coalesce(t.doc_id, v.doc_id) AS doc_id,
+                   round(coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + t.trank), 0)
+                         + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + v.vrank), 0), 6) AS rrf
+            FROM tpool t FULL OUTER JOIN vpool v
+              ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk
+            FROM fused)
+        SELECT query_id, doc_id, rrf, rnk FROM ranked WHERE rnk <= {K}
+        ORDER BY query_id, rnk
+    """
+
+
 def _bm25_scored_cte(corpus: str = "documents", queries=HARNESS_QUERIES) -> str:
     """Shared CTE chain: textbook BM25 over `corpus` (a table name or a
     prior CTE with doc_id, text), one score row per (query, doc) with
@@ -582,6 +674,7 @@ QUERIES = {
     "bm25_compacted": q_bm25_compacted,
     "bm25_upsert_topk": q_bm25_upsert_topk,
     "bm25_delete_topk": q_bm25_delete_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
 }
 ORACLES = {
     "bm25_topk": _bm25_oracle_sql(),
@@ -596,4 +689,7 @@ ORACLES = {
     "bm25_upsert_topk": _bm25_upsert_oracle_sql(),
     # deletion serving == textbook BM25 over the survivor corpus
     "bm25_delete_topk": _bm25_delete_oracle_sql(),
+    # fused BM25 × cosine ranking, RRF recomputed from both first-
+    # principles rankings in pure SQL
+    "hybrid_rrf_topk": _hybrid_rrf_oracle_sql(),
 }
