@@ -198,6 +198,58 @@ def main() -> int:
 
         extras["topk_upsert_rows"] = timed("engine_topk_upsert", serve_upsert, reps=3)
 
+        # --- persisted ANN index (vector half of the engine) -----------
+        # clustered synthetic corpus sized to the sf unit; build =
+        # quantizer train + one matmul-assign pass + cell=N/ partitioned
+        # write, serving = probed-cell reads only (the posting-list
+        # physics applied to vectors). Rescored serving exercises the
+        # stored-metadata two-stage path (no join added).
+        from theoremsearch_spark.corpus import generate_vectors
+        from theoremsearch_spark.functions.similarity import (
+            ann_ivf_search,
+            build_ann_index,
+        )
+
+        n_vecs = n_docs
+
+        def ann_gen():
+            generate_vectors(spark, n_vecs, partitions=cpus * 2).write.mode(
+                "overwrite"
+            ).parquet(f"{work}/vectors")
+
+        timed("ann_corpus_gen", ann_gen, reps=1)  # input synthesis
+
+        def ann_build():
+            return build_ann_index(
+                spark.read.parquet(f"{work}/vectors"), f"{work}/ann",
+                n_centroids=256,
+            )
+
+        timed("ann_build", ann_build, reps=1)
+        extras["ann_vecs"] = n_vecs
+        extras["ann_vecs_per_sec"] = round(n_vecs / timings["ann_build"], 1)
+
+        qv = (
+            spark.read.parquet(f"{work}/vectors")
+            .filter("vec_id < 64")
+            .selectExpr("vec_id as query_id", "embedding as qvec")
+            .toPandas()
+        )
+
+        def ann_serve():
+            return ann_ivf_search(spark, f"{work}/ann", qv, k=10).count()
+
+        extras["ann_hits"] = timed("ann_search", ann_serve, reps=3)
+        extras["ann_q_per_sec"] = round(len(qv) / timings["ann_search"], 2)
+
+        def ann_serve_rescored():
+            return ann_ivf_search(
+                spark, f"{work}/ann", qv, k=10,
+                rescore_col="label", rescore_weight=0.1,
+            ).count()
+
+        timed("ann_search_rescored", ann_serve_rescored, reps=2)
+
         # --- headline operators over the driver tables -----------------
         heads = {
             "pricing_summary": relational.q_pricing_summary,

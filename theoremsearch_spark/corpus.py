@@ -190,3 +190,42 @@ def generate_documents(spark: SparkSession, n_docs: int, partitions: int | None 
 
 def generate_queries(spark: SparkSession, n_docs: int) -> DataFrame:
     return spark.createDataFrame(query_set(n_docs), schema=QUERIES_SCHEMA)
+
+
+VEC_DIM = 64
+VEC_CLUSTERS = 256
+VECTORS_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def generate_vectors(
+    spark: SparkSession, n_vecs: int, dim: int = VEC_DIM,
+    n_clusters: int = VEC_CLUSTERS, partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic clustered vector corpus (the ANN bench
+    input): vec i = unit(center[i mod n_clusters] + 0.15·noise(i)),
+    `label` = i mod 10 as filterable metadata. Per-row determinism as
+    in `generate_documents`: every row is a pure function of
+    (SEED, vec_id), independent of partitioning."""
+    centers = np.random.default_rng(SEED ^ 0xA55).standard_normal(
+        (n_clusters, dim)
+    ).astype(np.float64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            X = np.empty((len(ids), dim), np.float64)
+            for r, i in enumerate(ids):
+                X[r] = centers[int(i) % n_clusters] + 0.15 * _rng(
+                    int(i), 9
+                ).standard_normal(dim)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "embedding": [row.astype(np.float32) for row in X],
+                    "label": (ids % 10).astype(np.int32),
+                }
+            )
+
+    rng_df = spark.range(0, n_vecs, numPartitions=partitions)
+    return rng_df.mapInPandas(gen, schema=VECTORS_SCHEMA)
