@@ -130,11 +130,24 @@ def main(argv: list[str] | None = None) -> int:
         if not args.index:
             p.error("search requires --index")
         if args.self_queries:
-            qp = (
+            import os
+
+            from theoremsearch_spark.functions.similarity import _exclude_tombstoned
+
+            # LIVE versions only: an upserted/streamed index stores the
+            # stale generations of a re-embedded id in its cells too —
+            # without tombstone exclusion a self-query id would appear
+            # once per stored version
+            cand = (
                 spark.read.option("basePath", f"{args.index}/cells")
                 .parquet(f"{args.index}/cells")
                 .filter(F.col("vec_id") < args.self_queries)
-                .select(
+            )
+            tomb_dir = f"{args.index}/tombstones"
+            if os.path.isdir(tomb_dir):
+                cand = _exclude_tombstoned(cand, spark.read.parquet(tomb_dir))
+            qp = (
+                cand.select(
                     F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("qvec"),
                 )

@@ -245,6 +245,173 @@ def test_ann_ivf_search_filtered(spark, emb_frames, tmp_path):
         add_to_ann_index(emb.limit(1), out)
 
 
+def _upsert_batch(spark, emb):
+    """The lifecycle batch: vec 0 re-embedded into cluster 7, plus a
+    genuinely new id 999 planted in cluster 3."""
+    from pyspark.sql import types as T
+
+    emb_pdf = emb.toPandas()
+    v_c7 = [float(x) for x in emb_pdf.loc[emb_pdf.vec_id == 75, "embedding"].iloc[0]]
+    v_c3 = [float(x) for x in emb_pdf.loc[emb_pdf.vec_id == 35, "embedding"].iloc[0]]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    return spark.createDataFrame([(0, v_c7), (999, v_c3)], schema)
+
+
+def test_ann_add_crash_replay_scrubs_partial(spark, emb_frames, tmp_path):
+    """A replayed `add` after a mid-add crash must not corrupt the
+    index. Window A (crash mid-cells-append): the uncommitted gen-1
+    leftovers in the batch's cells are scrubbed before the re-append —
+    no duplicate rows. Window B (crash after tombstone+keyindex write,
+    before the meta commit): the replay must not tombstone its OWN
+    generation even though the key index already records gen 1 for the
+    batch's ids. Both end states serve identically to a clean add."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from theoremsearch_spark.functions.similarity import (
+        _assign_cells,
+        _read_ivf_meta,
+        _vec_bucket,
+        add_to_ann_index,
+        ann_ivf_search,
+        build_ann_index,
+    )
+
+    emb, queries = emb_frames
+    qp = queries.toPandas()
+
+    # clean reference run
+    clean = str(tmp_path / "clean")
+    build_ann_index(emb, clean)
+    add_to_ann_index(_upsert_batch(spark, emb), clean)
+    want = (
+        ann_ivf_search(spark, clean, qp, k=K)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    # window A: partial cells append (vec 0's row landed, then crash)
+    outA = str(tmp_path / "crashA")
+    build_ann_index(emb, outA)
+    batch = _upsert_batch(spark, emb)
+    C = np.array(_read_ivf_meta(outA)["centroids"], dtype=np.float64)
+    (
+        _assign_cells(batch.filter("vec_id = 0"), C)
+        .withColumn("gen", F.lit(1))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{outA}/cells")
+    )
+    res = add_to_ann_index(batch, outA)
+    assert res == {"added": 2, "replaced": 1, "generation": 1}
+    cells = spark.read.parquet(f"{outA}/cells")
+    dupes = (
+        cells.groupBy("vec_id", "gen").count().filter("count > 1").count()
+    )
+    assert dupes == 0, "partial-crash leftovers not scrubbed"
+
+    # window B: tombstone + key index already written, meta not yet
+    outB = str(tmp_path / "crashB")
+    build_ann_index(emb, outB)
+    (
+        _assign_cells(batch, C)
+        .withColumn("gen", F.lit(1))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{outB}/cells")
+    )
+    spark.createDataFrame([(0, 0)], "vec_id long, upto_gen int").write.mode(
+        "append"
+    ).parquet(f"{outB}/tombstones")
+    ki = spark.read.parquet(f"{outB}/keyindex")
+    updated = (
+        ki.withColumn(
+            "gen", F.when(F.col("vec_id") == 0, F.lit(1)).otherwise(F.col("gen"))
+        )
+        .unionByName(
+            spark.createDataFrame([(999, 1)], "vec_id long, gen int").withColumn(
+                "vb", _vec_bucket("vec_id")
+            )
+        )
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    updated.repartition("vb").write.mode("overwrite").partitionBy("vb").parquet(
+        f"{outB}/keyindex"
+    )
+    add_to_ann_index(batch, outB)
+    tomb = spark.read.parquet(f"{outB}/tombstones").toPandas()
+    assert int(tomb.upto_gen.max()) == 0, "replay tombstoned its own generation"
+
+    for out in (outA, outB):
+        got = (
+            ann_ivf_search(spark, out, qp, k=K)
+            .toPandas()
+            .sort_values(["query_id", "rnk"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_ann_ingest_lifecycle(spark, emb_frames, tmp_path):
+    """Streaming vector ingestion: first batch bootstraps the index,
+    the second layers an upsert generation (stale version excluded,
+    new id served), and a redelivery of already-committed files (fresh
+    checkpoint, same landing dir) is skipped via stream_batches.json —
+    index bytes and serving untouched."""
+    from theoremsearch_spark.functions.similarity import (
+        _read_ivf_meta,
+        ann_ivf_search,
+    )
+    from theoremsearch_spark.streaming.ann_stream import stream_ann_ingest
+
+    emb, queries = emb_frames
+    qp = queries.toPandas()
+    land = tmp_path / "land"
+    land.mkdir()
+    idx = str(tmp_path / "annidx")
+    emb.repartition(2).write.parquet(str(land / "batch0"))
+
+    def drain(chk: str):
+        stream_ann_ingest(
+            spark, f"{land}/*", idx, str(tmp_path / chk), schema=emb.schema
+        ).start().awaitTermination(300)
+
+    drain("chk")
+    meta = _read_ivf_meta(idx)
+    assert meta["generations"] == 1
+    assert meta["n_vectors"] == N_CLUSTERS * PER_CLUSTER
+
+    _upsert_batch(spark, emb).write.parquet(str(land / "batch1"))
+    drain("chk")
+    meta2 = _read_ivf_meta(idx)
+    assert meta2["generations"] == 2
+    assert meta2["n_vectors"] == N_CLUSTERS * PER_CLUSTER + 1
+    tomb = spark.read.parquet(f"{idx}/tombstones").toPandas()
+    assert list(tomb.vec_id) == [0] and list(tomb.upto_gen) == [0]
+
+    got = ann_ivf_search(spark, idx, qp, k=K).toPandas()
+    assert 0 not in set(got.loc[got.query_id == 0, "vec_id"].astype(int))
+    assert 0 in set(got.loc[got.query_id == 7, "vec_id"].astype(int))
+    assert 999 in set(got.loc[got.query_id == 3, "vec_id"].astype(int))
+
+    # redelivery: a fresh checkpoint re-offers every landed file as
+    # batch 0 — a committed id, so the drain must be a no-op
+    drain("chk_replay")
+    assert _read_ivf_meta(idx) == meta2
+    again = ann_ivf_search(spark, idx, qp, k=K).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rnk"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rnk"]).reset_index(drop=True),
+    )
+
+
 def test_ann_ivf_search_rescored(spark, emb_frames, tmp_path):
     """Two-stage weighted rescore on the persisted index (the
     reference's citation-weight mode): a planted high-prior cluster

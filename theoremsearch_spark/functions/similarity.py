@@ -444,7 +444,17 @@ def add_to_ann_index(
     by churn, not corpus size. Batches must carry one row per vec_id;
     single-writer, like build. With `upsert=False` (caller guarantees
     fresh ids) the prior-version lookup and tombstone write are
-    skipped, but the key index still learns the new ids."""
+    skipped, but the key index still learns the new ids.
+
+    Crash-replayable: the meta write is the commit point. A replayed
+    batch scrubs any gen>=generations leftovers from the cells it
+    touches before re-appending (bounded by the batch's cell
+    footprint); a pre-crash key-index update cannot make the replay
+    tombstone its own generation (stale is gen-bounded), and duplicate
+    tombstone rows are harmless (`_exclude_tombstoned` max-aggregates
+    per id). `n_vectors` in the meta is informational and may drift by
+    the replaced count across a crash-replay; compact recomputes it
+    exactly."""
     spark = emb_new.sparkSession
     meta = _read_ivf_meta(out_dir)
     expected = meta.get("columns")
@@ -458,10 +468,42 @@ def add_to_ann_index(
     C = np.array(meta["centroids"], dtype=np.float64)
     gen = int(meta["generations"])
     n_new = emb_new.count()
+    assigned = _assign_cells(emb_new, C).withColumn("gen", F.lit(gen))
+    # crash-replay hygiene: the meta write below is the COMMIT point,
+    # so rows at gen >= generations are leftovers of an interrupted
+    # add. A replayed batch carries the same vectors → the same cells,
+    # so scrubbing just the cells THIS batch touches removes every
+    # leftover before the re-append — bounded by the batch's cell
+    # footprint, never a corpus rewrite. (Reading only the `gen`
+    # column of the touched dirs makes the no-crash common case one
+    # pruned columnar read.)
+    import os
+    import shutil
+
+    touched_cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    cell_paths = [
+        p for c in sorted(touched_cells)
+        if os.path.isdir(p := f"{out_dir}/cells/cell={c}")
+    ]
+    if cell_paths:
+        cur = spark.read.option("basePath", f"{out_dir}/cells").parquet(*cell_paths)
+        if cur.filter(F.col("gen") >= gen).limit(1).count():
+            keep = cur.filter(F.col("gen") < gen)
+            kept_cells = {r["cell"] for r in keep.select("cell").distinct().collect()}
+            if kept_cells:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                (
+                    keep.repartition("cell")
+                    .write.mode("overwrite")
+                    .partitionBy("cell")
+                    .parquet(f"{out_dir}/cells")
+                )
+            # a touched dir whose every row was leftover garbage never
+            # appears in the overwrite output — drop it explicitly
+            for c in set(touched_cells) - kept_cells:
+                shutil.rmtree(f"{out_dir}/cells/cell={c}", ignore_errors=True)
     (
-        _assign_cells(emb_new, C)
-        .withColumn("gen", F.lit(gen))
-        .repartition("cell")
+        assigned.repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{out_dir}/cells")
@@ -470,7 +512,9 @@ def add_to_ann_index(
     buckets = _touched_key_buckets(spark, out_dir, ids_new)
     n_replaced = 0
     if upsert:
-        stale = buckets.join(ids_new, "vec_id").select(
+        # gen < gen-being-added: a replayed batch whose key index was
+        # already updated pre-crash must not tombstone its OWN rows
+        stale = buckets.filter(F.col("gen") < gen).join(ids_new, "vec_id").select(
             "vec_id", F.col("gen").alias("upto_gen")
         )
         n_replaced = stale.count()
