@@ -132,16 +132,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.self_queries:
             import os
 
-            from theoremsearch_spark.functions.similarity import _exclude_tombstoned
+            from theoremsearch_spark.functions.similarity import (
+                _exclude_tombstoned,
+                _read_ivf_meta,
+            )
 
             # LIVE versions only: an upserted/streamed index stores the
             # stale generations of a re-embedded id in its cells too —
             # without tombstone exclusion a self-query id would appear
-            # once per stored version
+            # once per stored version (and gen-bounding hides an
+            # interrupted add's uncommitted leftovers)
+            n_gens = int(_read_ivf_meta(args.index)["generations"])
             cand = (
                 spark.read.option("basePath", f"{args.index}/cells")
                 .parquet(f"{args.index}/cells")
                 .filter(F.col("vec_id") < args.self_queries)
+                .filter(F.col("gen") < n_gens)
             )
             tomb_dir = f"{args.index}/tombstones"
             if os.path.isdir(tomb_dir):

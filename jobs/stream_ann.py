@@ -85,7 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     # schema from the landed files themselves (batch-infer once): the
     # stream needs explicit types, and the index validates column
     # parity on every add anyway
-    schema = spark.read.parquet(stream_path).schema
+    try:
+        schema = spark.read.parquet(stream_path).schema
+    except Exception as exc:
+        p.error(
+            f"no readable parquet under --input {args.input!r} to infer "
+            f"the stream schema from (land a batch first, or use "
+            f"--synth-batch): {exc.__class__.__name__}"
+        )
 
     stream = stream_ann_ingest(
         spark,

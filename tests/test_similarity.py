@@ -300,6 +300,12 @@ def test_ann_add_crash_replay_scrubs_partial(spark, emb_frames, tmp_path):
     # window A: partial cells append (vec 0's row landed, then crash)
     outA = str(tmp_path / "crashA")
     build_ann_index(emb, outA)
+    pre_crash = (
+        ann_ivf_search(spark, outA, qp, k=K)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
     batch = _upsert_batch(spark, emb)
     C = np.array(_read_ivf_meta(outA)["centroids"], dtype=np.float64)
     (
@@ -309,6 +315,16 @@ def test_ann_add_crash_replay_scrubs_partial(spark, emb_frames, tmp_path):
         .partitionBy("cell")
         .parquet(f"{outA}/cells")
     )
+    # uncommitted leftovers are INVISIBLE to serving (the ivf_meta
+    # write is the commit point): between crash and replay the index
+    # serves exactly its last committed state
+    mid = (
+        ann_ivf_search(spark, outA, qp, k=K)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mid, pre_crash)
     res = add_to_ann_index(batch, outA)
     assert res == {"added": 2, "replaced": 1, "generation": 1}
     cells = spark.read.parquet(f"{outA}/cells")

@@ -589,7 +589,12 @@ def compact_ann_index(spark, out_dir: str) -> dict:
     tomb_dir = f"{out_dir}/tombstones"
     if not os.path.isdir(tomb_dir):
         return {"compacted": False, "reason": "no tombstones"}
-    cells = spark.read.parquet(cells_dir)
+    # gen-bound first: an interrupted add's uncommitted leftovers must
+    # not be laundered into permanence by a compaction that runs before
+    # the batch's replay
+    cells = spark.read.parquet(cells_dir).filter(
+        F.col("gen") < F.lit(int(meta["generations"]))
+    )
     live = _exclude_tombstoned(cells, spark.read.parquet(tomb_dir))
     n_live = live.count()
     tmp = f"{out_dir}/.cells.compact"
@@ -684,6 +689,10 @@ def ann_ivf_search(
     cells = (
         spark.read.option("basePath", f"{out_dir}/cells")
         .parquet(*paths)
+        # the ivf_meta write is add's COMMIT point: rows at
+        # gen >= generations are leftovers of an interrupted add and
+        # must stay invisible until the batch's replay commits them
+        .filter(F.col("gen") < F.lit(int(meta["generations"])))
     )
     if where is not None:
         # filter-before-rank: lands on the scan node, Catalyst pushes
