@@ -130,30 +130,16 @@ def main(argv: list[str] | None = None) -> int:
         if not args.index:
             p.error("search requires --index")
         if args.self_queries:
-            import os
-
-            from theoremsearch_spark.functions.similarity import (
-                _exclude_tombstoned,
-                _read_ivf_meta,
-            )
+            from theoremsearch_spark.functions.similarity import live_cells
 
             # LIVE versions only: an upserted/streamed index stores the
             # stale generations of a re-embedded id in its cells too —
-            # without tombstone exclusion a self-query id would appear
-            # once per stored version (and gen-bounding hides an
-            # interrupted add's uncommitted leftovers)
-            n_gens = int(_read_ivf_meta(args.index)["generations"])
-            cand = (
-                spark.read.option("basePath", f"{args.index}/cells")
-                .parquet(f"{args.index}/cells")
-                .filter(F.col("vec_id") < args.self_queries)
-                .filter(F.col("gen") < n_gens)
-            )
-            tomb_dir = f"{args.index}/tombstones"
-            if os.path.isdir(tomb_dir):
-                cand = _exclude_tombstoned(cand, spark.read.parquet(tomb_dir))
+            # live_cells applies the committed+untombstoned visibility
+            # rule, so each self-query id appears exactly once
             qp = (
-                cand.select(
+                live_cells(spark, args.index)
+                .filter(F.col("vec_id") < args.self_queries)
+                .select(
                     F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("qvec"),
                 )

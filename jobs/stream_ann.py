@@ -74,7 +74,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.synth_batch:
         from theoremsearch_spark.corpus import generate_vectors
 
-        land = (os.path.dirname(args.input) or ".") if is_glob else args.input.rstrip("/")
+        if is_glob:
+            # a glob like 'dir/batch*' would never match the
+            # synth_batch_N dir we write — the batch would silently
+            # never be ingested
+            p.error("--synth-batch requires a plain directory --input, not a glob")
+        land = args.input.rstrip("/")
         batch_no = 0
         while os.path.exists(f"{land}/synth_batch_{batch_no}"):
             batch_no += 1

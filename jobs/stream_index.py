@@ -92,16 +92,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.synth_batch:
         from theoremsearch_spark.corpus import generate_documents
 
+        if is_glob:
+            # a glob like 'dir/batch*' would never match the
+            # synth_batch_N dir we write — the batch would silently
+            # never be ingested
+            p.error("--synth-batch requires a plain directory --input, not a glob")
         # name from the LANDING DIR contents, not the generation count:
         # compaction shrinks the live generation count and a crashed run
         # can leave a batch dir without a committed generation — either
         # would collide with an existing synth_batch_N directory.
-        # For a glob input the landing dir is the glob's parent directory
-        # (os.path.dirname), not input.rstrip('/*') — that rule turned
-        # 'dir/*.parquet' into a literal 'dir/*.parquet' landing path.
-        # `or "."`: dirname of a bare relative glob ('batch_*.parquet')
-        # is '' — without the fallback the batch would land at '/...'
-        land = (os.path.dirname(args.input) or ".") if is_glob else args.input.rstrip("/")
+        land = args.input.rstrip("/")
         batch_no = 0
         while os.path.exists(f"{land}/synth_batch_{batch_no}"):
             batch_no += 1

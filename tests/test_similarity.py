@@ -178,7 +178,7 @@ def test_persisted_ivf_reads_only_probed_cells(spark, emb_frames, tmp_path):
     out = str(tmp_path / "ivf")
     res = build_ann_index(emb, out)
     assert res["n_vectors"] == N_CLUSTERS * PER_CLUSTER
-    cell_dirs = glob.glob(f"{out}/cells/cell=*")
+    cell_dirs = glob.glob(f"{out}/cells/gen=0/cell=*")
     assert len(cell_dirs) > N_PROBE  # pruning is meaningful
 
     qp = queries.toPandas()
@@ -262,14 +262,16 @@ def _upsert_batch(spark, emb):
     return spark.createDataFrame([(0, v_c7), (999, v_c3)], schema)
 
 
-def test_ann_add_crash_replay_scrubs_partial(spark, emb_frames, tmp_path):
-    """A replayed `add` after a mid-add crash must not corrupt the
-    index. Window A (crash mid-cells-append): the uncommitted gen-1
-    leftovers in the batch's cells are scrubbed before the re-append —
-    no duplicate rows. Window B (crash after tombstone+keyindex write,
-    before the meta commit): the replay must not tombstone its OWN
-    generation even though the key index already records gen 1 for the
-    batch's ids. Both end states serve identically to a clean add."""
+def test_ann_add_crash_replay_self_heals(spark, emb_frames, tmp_path):
+    """Torn adds are invisible and self-healing in the per-generation
+    layout. Window A (crash mid-cells-write): serving equals the last
+    committed state; the replay overwrites the torn gen dirs and ends
+    bitwise-identical to a clean add. Window B (every gen-1 dir
+    written — cells, tombstones, keyindex — but meta never committed):
+    same. Interleaving: a DIFFERENT batch added after a torn attempt
+    commits the same gen number, wholly overwriting the torn dirs —
+    no partial rows are laundered in, and the torn batch's later retry
+    lands as the next generation with correct upsert tombstones."""
     import numpy as np
 
     from pyspark.sql import functions as F
@@ -281,98 +283,82 @@ def test_ann_add_crash_replay_scrubs_partial(spark, emb_frames, tmp_path):
         add_to_ann_index,
         ann_ivf_search,
         build_ann_index,
+        live_cells,
     )
 
     emb, queries = emb_frames
     qp = queries.toPandas()
 
-    # clean reference run
-    clean = str(tmp_path / "clean")
-    build_ann_index(emb, clean)
-    add_to_ann_index(_upsert_batch(spark, emb), clean)
-    want = (
-        ann_ivf_search(spark, clean, qp, k=K)
-        .toPandas()
-        .sort_values(["query_id", "rnk"])
-        .reset_index(drop=True)
-    )
-
-    # window A: partial cells append (vec 0's row landed, then crash)
-    outA = str(tmp_path / "crashA")
-    build_ann_index(emb, outA)
-    pre_crash = (
-        ann_ivf_search(spark, outA, qp, k=K)
-        .toPandas()
-        .sort_values(["query_id", "rnk"])
-        .reset_index(drop=True)
-    )
-    batch = _upsert_batch(spark, emb)
-    C = np.array(_read_ivf_meta(outA)["centroids"], dtype=np.float64)
-    (
-        _assign_cells(batch.filter("vec_id = 0"), C)
-        .withColumn("gen", F.lit(1))
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{outA}/cells")
-    )
-    # uncommitted leftovers are INVISIBLE to serving (the ivf_meta
-    # write is the commit point): between crash and replay the index
-    # serves exactly its last committed state
-    mid = (
-        ann_ivf_search(spark, outA, qp, k=K)
-        .toPandas()
-        .sort_values(["query_id", "rnk"])
-        .reset_index(drop=True)
-    )
-    pd.testing.assert_frame_equal(mid, pre_crash)
-    res = add_to_ann_index(batch, outA)
-    assert res == {"added": 2, "replaced": 1, "generation": 1}
-    cells = spark.read.parquet(f"{outA}/cells")
-    dupes = (
-        cells.groupBy("vec_id", "gen").count().filter("count > 1").count()
-    )
-    assert dupes == 0, "partial-crash leftovers not scrubbed"
-
-    # window B: tombstone + key index already written, meta not yet
-    outB = str(tmp_path / "crashB")
-    build_ann_index(emb, outB)
-    (
-        _assign_cells(batch, C)
-        .withColumn("gen", F.lit(1))
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{outB}/cells")
-    )
-    spark.createDataFrame([(0, 0)], "vec_id long, upto_gen int").write.mode(
-        "append"
-    ).parquet(f"{outB}/tombstones")
-    ki = spark.read.parquet(f"{outB}/keyindex")
-    updated = (
-        ki.withColumn(
-            "gen", F.when(F.col("vec_id") == 0, F.lit(1)).otherwise(F.col("gen"))
-        )
-        .unionByName(
-            spark.createDataFrame([(999, 1)], "vec_id long, gen int").withColumn(
-                "vb", _vec_bucket("vec_id")
-            )
-        )
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    updated.repartition("vb").write.mode("overwrite").partitionBy("vb").parquet(
-        f"{outB}/keyindex"
-    )
-    add_to_ann_index(batch, outB)
-    tomb = spark.read.parquet(f"{outB}/tombstones").toPandas()
-    assert int(tomb.upto_gen.max()) == 0, "replay tombstoned its own generation"
-
-    for out in (outA, outB):
-        got = (
+    def serve(out):
+        return (
             ann_ivf_search(spark, out, qp, k=K)
             .toPandas()
             .sort_values(["query_id", "rnk"])
             .reset_index(drop=True)
         )
-        pd.testing.assert_frame_equal(got, want)
+
+    # clean reference run
+    clean = str(tmp_path / "clean")
+    build_ann_index(emb, clean)
+    add_to_ann_index(_upsert_batch(spark, emb), clean)
+    want = serve(clean)
+
+    batch = _upsert_batch(spark, emb)
+
+    def torn_attempt(out, full: bool):
+        """Simulate a crash mid-add at gen 1: cells partially written
+        (window A) or every gen-1 dir written but meta uncommitted
+        (window B)."""
+        C = np.array(_read_ivf_meta(out)["centroids"], dtype=np.float64)
+        part = batch if full else batch.filter("vec_id = 0")
+        _assign_cells(part, C).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{out}/cells/gen=1"
+        )
+        if full:
+            spark.createDataFrame(
+                [(0, 0)], "vec_id long, upto_gen int"
+            ).write.mode("overwrite").parquet(f"{out}/tombstones/gen=1")
+            batch.select("vec_id").withColumn("vb", _vec_bucket("vec_id")).write.mode(
+                "overwrite"
+            ).partitionBy("vb").parquet(f"{out}/keyindex/gen=1")
+
+    for name, full in (("crashA", False), ("crashB", True)):
+        out = str(tmp_path / name)
+        build_ann_index(emb, out)
+        pre_crash = serve(out)
+        torn_attempt(out, full)
+        # torn dirs are INVISIBLE: serving equals the committed state
+        pd.testing.assert_frame_equal(serve(out), pre_crash)
+        res = add_to_ann_index(batch, out)
+        assert res == {"added": 2, "replaced": 1, "generation": 1}
+        live = live_cells(spark, out)
+        assert live.groupBy("vec_id").count().filter("count > 1").count() == 0
+        pd.testing.assert_frame_equal(serve(out), want)
+
+    # interleaving: torn batch b1, then a DIFFERENT batch b2 commits
+    # gen 1, then b1 retries at gen 2
+    out = str(tmp_path / "interleave")
+    build_ann_index(emb, out)
+    torn_attempt(out, True)  # b1 = _upsert_batch, torn at gen 1
+    emb_pdf = emb.toPandas()
+    v_c5 = [float(x) for x in emb_pdf.loc[emb_pdf.vec_id == 50, "embedding"].iloc[0]]
+    b2 = spark.createDataFrame([(777, v_c5)], batch.schema)
+    res2 = add_to_ann_index(b2, out)
+    assert res2 == {"added": 1, "replaced": 0, "generation": 1}
+    # b1's torn gen-1 rows were wholly overwritten by b2's commit
+    live_ids = {
+        int(r["vec_id"]) for r in live_cells(spark, out).select("vec_id").collect()
+    }
+    assert 999 not in live_ids, "torn batch's partial rows laundered in"
+    res1 = add_to_ann_index(batch, out)
+    assert res1 == {"added": 2, "replaced": 1, "generation": 2}
+    live = live_cells(spark, out)
+    assert live.groupBy("vec_id").count().filter("count > 1").count() == 0
+    got = serve(out)
+    q5 = set(got.loc[got.query_id == 5, "vec_id"].astype(int))
+    q7 = set(got.loc[got.query_id == 7, "vec_id"].astype(int))
+    q3 = set(got.loc[got.query_id == 3, "vec_id"].astype(int))
+    assert 777 in q5 and 0 in q7 and 999 in q3
 
 
 def test_stream_ann_ingest_lifecycle(spark, emb_frames, tmp_path):
@@ -417,8 +403,8 @@ def test_stream_ann_ingest_lifecycle(spark, emb_frames, tmp_path):
     assert 0 in set(got.loc[got.query_id == 7, "vec_id"].astype(int))
     assert 999 in set(got.loc[got.query_id == 3, "vec_id"].astype(int))
 
-    # redelivery: a fresh checkpoint re-offers every landed file as
-    # batch 0 — a committed id, so the drain must be a no-op
+    # redelivery: a fresh checkpoint re-offers every landed file in one
+    # big batch 0 — all files are committed, so the drain is a no-op
     drain("chk_replay")
     assert _read_ivf_meta(idx) == meta2
     again = ann_ivf_search(spark, idx, qp, k=K).toPandas()
@@ -426,6 +412,25 @@ def test_stream_ann_ingest_lifecycle(spark, emb_frames, tmp_path):
         got.sort_values(["query_id", "rnk"]).reset_index(drop=True),
         again.sort_values(["query_id", "rnk"]).reset_index(drop=True),
     )
+
+    # PARTIAL redelivery — the checkpoint-loss data-loss trap: a fresh
+    # checkpoint offers committed files AND a newly landed file in the
+    # same batch 0. File-keyed idempotency must ingest exactly the new
+    # file (batch-id keying would skip the whole batch and lose it).
+    emb_pdf = emb.toPandas()
+    v = [float(x) for x in emb_pdf.loc[emb_pdf.vec_id == 45, "embedding"].iloc[0]]
+    spark.createDataFrame([(1000, v)], emb.schema).write.parquet(
+        str(land / "batch2")
+    )
+    drain("chk_replay2")
+    meta3 = _read_ivf_meta(idx)
+    assert meta3["generations"] == 3
+    assert meta3["n_vectors"] == N_CLUSTERS * PER_CLUSTER + 2
+    # no re-upserting of the redelivered old files: tombstones unchanged
+    tomb = spark.read.parquet(f"{idx}/tombstones").toPandas()
+    assert list(tomb.vec_id) == [0]
+    got3 = ann_ivf_search(spark, idx, qp, k=K).toPandas()
+    assert 1000 in set(got3.loc[got3.query_id == 4, "vec_id"].astype(int))
 
 
 def test_ann_ivf_search_rescored(spark, emb_frames, tmp_path):

@@ -310,7 +310,14 @@ def _read_ivf_meta(out_dir: str) -> dict:
     import json
 
     with open(f"{out_dir}/ivf_meta.json") as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    if meta.get("layout") != ANN_LAYOUT:
+        raise ValueError(
+            f"{out_dir}: index layout {meta.get('layout')!r} != "
+            f"{ANN_LAYOUT} — built by an older version; rebuild with "
+            "build_ann_index (mixed layouts would mis-serve silently)"
+        )
+    return meta
 
 
 def _write_ivf_meta(out_dir: str, meta: dict) -> None:
@@ -323,27 +330,40 @@ def _write_ivf_meta(out_dir: str, meta: dict) -> None:
     os.rename(tmp, f"{out_dir}/ivf_meta.json")
 
 
+ANN_LAYOUT = 2  # per-generation directory layout (gen=G subdirs)
+
+
 def build_ann_index(
     emb: DataFrame, out_dir: str,
     n_centroids: int = N_CENTROIDS,
 ) -> dict:
     """Persist an IVF index: corpus vectors land in parquet partitioned
-    by their cell (`cell=N/` dirs), centroids + metadata in a JSON
+    as `cells/gen=0/cell=N/` dirs, centroids + metadata in a JSON
     sidecar. This is the ANN analog of the posting-list index — at
     10^12 rows a probe must be a PARTITION-DIRECTORY read, not a
     filter over one monolithic table: `ann_ivf_search` lists only the
-    probed `cell=` dirs, so IO per query batch is
-    O(n_probe/n_centroids) of the corpus with zero footer reads
-    outside the probed cells. Rows carry a `gen` column (0 at build)
-    so add/delete can layer LSM-style generations on the same cells
-    (single-writer, like the text index's generation store).
+    probed `cell=` dirs of committed generations, so IO per query batch
+    is O(n_probe/n_centroids) of the corpus with zero footer reads
+    outside the probed cells.
+
+    Generations are DIRECTORIES (`gen=G` subtrees under cells/,
+    keyindex/, tombstones/), exactly the text index's generation-store
+    recipe (streaming/incremental.py): every add/delete writes only its
+    own gen=G dirs and the ivf_meta.json write is the single COMMIT
+    point — a torn operation's dirs are invisible to every reader (its
+    gen number is >= the committed generation count) and are wholly
+    overwritten by whichever retry commits that gen number, so crash
+    safety is structural, not scrub-based. Single-writer per root.
 
     Any column of `emb` beyond (vec_id, embedding) is stored in the
     cells verbatim as FILTERABLE METADATA: `ann_ivf_search(where=...)`
     pushes predicates on those columns into the probed-cell parquet
     scan — the reference's `WHERE filters ORDER BY embedding <#> q`
     shape (/root/reference/streamlit_app.py:275-282). `add` batches
-    must carry the same columns."""
+    must carry the same columns (validated)."""
+    import os
+    import shutil
+
     spark = emb.sparkSession
     n = emb.count()
     stride = max(1, n // min(n, KMEANS_SAMPLE))
@@ -357,24 +377,33 @@ def build_ann_index(
     X = np.array([r["embedding"] for r in sample], dtype=np.float64)
     C = _kmeans_spherical(X, min(n_centroids, len(X)))
 
+    # a rebuild starts from nothing: per-gen writes would otherwise
+    # leave a previous lifecycle's higher-numbered gen dirs around
+    for sub in ("cells", "keyindex", "tombstones"):
+        shutil.rmtree(f"{out_dir}/{sub}", ignore_errors=True)
+    for f in ("ivf_meta.json", "stream_files.json"):
+        try:
+            os.remove(f"{out_dir}/{f}")
+        except FileNotFoundError:
+            pass
+
     (
         _assign_cells(emb, C)
-        .withColumn("gen", F.lit(0))
         .repartition("cell")  # one writer task per cell: no tiny files
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{out_dir}/cells")
+        .parquet(f"{out_dir}/cells/gen=0")
     )
     (
         emb.select("vec_id")
-        .withColumn("gen", F.lit(0))
         .withColumn("vb", _vec_bucket("vec_id"))
         .repartition("vb")
         .write.mode("overwrite")
         .partitionBy("vb")
-        .parquet(f"{out_dir}/keyindex")
+        .parquet(f"{out_dir}/keyindex/gen=0")
     )
     meta = {
+        "layout": ANN_LAYOUT,
         "n_vectors": int(n),
         "n_centroids": int(C.shape[0]),
         "dim": int(C.shape[1]),
@@ -386,17 +415,46 @@ def build_ann_index(
     return {"n_vectors": int(n), "n_centroids": int(C.shape[0])}
 
 
-def _touched_key_buckets(spark, out_dir: str, ids_df: DataFrame) -> DataFrame:
-    """FULL content of the `vb=` key-index bucket dirs that `ids_df`'s
-    ids hash into (≤ ANN_KEY_BUCKETS tiny ints to the driver, then a
-    partition-dir read: O(ids/B) of the key index, never a corpus
-    scan). Full content, not just the matching ids — the caller's
-    dynamic-partition overwrite rewrites whole buckets, so every
-    non-incoming id in a touched bucket must ride along or it is
-    silently dropped."""
+def _committed_gen_dirs(out_dir: str, sub: str, n_gens: int, leaf: str | None = None):
+    """Existing COMMITTED per-generation dirs under `{out_dir}/{sub}`:
+    gen=g subtrees with g < n_gens (the meta's committed count — a torn
+    operation's gen number is >= it, so its dirs never appear), each
+    optionally narrowed to a `leaf` subdir (e.g. `cell=5`, `vb=3`).
+    Listing-based, so cost is O(existing dirs), not O(lifetime gens)."""
     import os
+    import re
 
-    ki = f"{out_dir}/keyindex"
+    root = f"{out_dir}/{sub}"
+    if not os.path.isdir(root):
+        return []
+    paths = []
+    for name in sorted(os.listdir(root)):
+        m = re.fullmatch(r"gen=(\d+)", name)
+        if not m or int(m.group(1)) >= n_gens:
+            continue
+        p = f"{root}/{name}" + (f"/{leaf}" if leaf else "")
+        if os.path.isdir(p):
+            paths.append(p)
+    return paths
+
+
+def _visible_tombstones(spark, out_dir: str, n_gens: int) -> DataFrame | None:
+    """(vec_id, max upto_gen) over the COMMITTED tombstone generations,
+    or None when there are none. Tombstones are O(updated ids) between
+    compactions, so the aggregate broadcasts."""
+    paths = _committed_gen_dirs(out_dir, "tombstones", n_gens)
+    if not paths:
+        return None
+    tomb = spark.read.option("basePath", f"{out_dir}/tombstones").parquet(*paths)
+    return tomb.groupBy("vec_id").agg(F.max("upto_gen").alias("upto_gen"))
+
+
+def _latest_versions(spark, out_dir: str, ids_df: DataFrame, n_gens: int) -> DataFrame:
+    """(vec_id, gen) of each id's LATEST committed generation, for the
+    ids in `ids_df` only — discovered by reading just the `vb=` key
+    buckets the ids hash into, across committed keyindex generations
+    (≤ ANN_KEY_BUCKETS tiny ints to the driver, then a partition-dir
+    read: O(ids/B) of the key index, never a corpus scan)."""
     touched = {
         r["vb"]
         for r in ids_df.select(_vec_bucket("vec_id").alias("vb"))
@@ -404,24 +462,32 @@ def _touched_key_buckets(spark, out_dir: str, ids_df: DataFrame) -> DataFrame:
         .collect()
     }
     paths = [
-        p for b in sorted(touched)
-        if os.path.isdir(p := f"{ki}/vb={b}")
+        p
+        for b in sorted(touched)
+        for p in _committed_gen_dirs(out_dir, "keyindex", n_gens, leaf=f"vb={b}")
     ]
     if not paths:
-        return spark.createDataFrame([], "vec_id long, gen int, vb int")
-    return spark.read.option("basePath", ki).parquet(*paths)
+        return spark.createDataFrame([], "vec_id long, gen int")
+    ki = spark.read.option("basePath", f"{out_dir}/keyindex").parquet(*paths)
+    return (
+        ki.join(ids_df, "vec_id")
+        .groupBy("vec_id")
+        .agg(F.max("gen").alias("gen"))
+    )
 
 
-def _overwrite_key_buckets(merged: DataFrame, out_dir: str) -> None:
-    """Dynamic-partition overwrite of just the touched `vb=` dirs (the
-    ParquetBucketSink idiom — atomic per partition)."""
-    spark = merged.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        merged.repartition("vb")
-        .write.mode("overwrite")
-        .partitionBy("vb")
-        .parquet(f"{out_dir}/keyindex")
+def _live_prior_versions(spark, out_dir: str, ids_df: DataFrame, n_gens: int) -> DataFrame:
+    """(vec_id, gen) of each id's latest committed version that is
+    STILL SERVING (not already fully tombstoned by an earlier upsert or
+    delete) — the rows a new upsert/delete must tombstone."""
+    latest = _latest_versions(spark, out_dir, ids_df, n_gens)
+    tomb = _visible_tombstones(spark, out_dir, n_gens)
+    if tomb is None:
+        return latest
+    return (
+        latest.join(F.broadcast(tomb), "vec_id", "left")
+        .filter(F.col("upto_gen").isNull() | (F.col("gen") > F.col("upto_gen")))
+        .select("vec_id", "gen")
     )
 
 
@@ -436,7 +502,7 @@ def add_to_ann_index(
     new generation. With `upsert=True`, ids that ALREADY have a stored
     version — discovered via the vb= key index, reading only the
     buckets this batch's ids hash into — get a tombstone
-    (vec_id, upto_gen = their recorded latest gen): serving drops any
+    (vec_id, upto_gen = their latest live gen): serving drops any
     candidate with gen ≤ its id's upto_gen, so a re-embedded vector
     never serves stale even when the stale version sits in a probed
     cell and the fresh one doesn't. Tombstones stay O(actually-updated
@@ -446,15 +512,15 @@ def add_to_ann_index(
     fresh ids) the prior-version lookup and tombstone write are
     skipped, but the key index still learns the new ids.
 
-    Crash-replayable: the meta write is the commit point. A replayed
-    batch scrubs any gen>=generations leftovers from the cells it
-    touches before re-appending (bounded by the batch's cell
-    footprint); a pre-crash key-index update cannot make the replay
-    tombstone its own generation (stale is gen-bounded), and duplicate
-    tombstone rows are harmless (`_exclude_tombstoned` max-aggregates
-    per id). `n_vectors` in the meta is informational and may drift by
-    the replaced count across a crash-replay; compact recomputes it
-    exactly."""
+    Crash-safe by construction: everything this call writes lives
+    under its own gen=G dirs (cells/keyindex/tombstones), invisible to
+    readers until the ivf_meta write — the single COMMIT point —
+    raises the committed-generation count past G. A torn attempt's
+    dirs are wholly overwritten by whichever operation next commits
+    gen G (the replay, or an unrelated batch — either way no partial
+    state survives), and all inputs to the prior-version lookup are
+    committed state, so a replay computes the same tombstones and the
+    same n_vectors delta as a clean run."""
     spark = emb_new.sparkSession
     meta = _read_ivf_meta(out_dir)
     expected = meta.get("columns")
@@ -465,155 +531,149 @@ def add_to_ann_index(
             "(a mismatched append would surface as silent nulls under "
             "`search(where=...)`)"
         )
-    C = np.array(meta["centroids"], dtype=np.float64)
-    gen = int(meta["generations"])
-    n_new = emb_new.count()
-    assigned = _assign_cells(emb_new, C).withColumn("gen", F.lit(gen))
-    # crash-replay hygiene: the meta write below is the COMMIT point,
-    # so rows at gen >= generations are leftovers of an interrupted
-    # add. A replayed batch carries the same vectors → the same cells,
-    # so scrubbing just the cells THIS batch touches removes every
-    # leftover before the re-append — bounded by the batch's cell
-    # footprint, never a corpus rewrite. (Reading only the `gen`
-    # column of the touched dirs makes the no-crash common case one
-    # pruned columnar read.)
-    import os
     import shutil
 
-    touched_cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
-    cell_paths = [
-        p for c in sorted(touched_cells)
-        if os.path.isdir(p := f"{out_dir}/cells/cell={c}")
-    ]
-    if cell_paths:
-        cur = spark.read.option("basePath", f"{out_dir}/cells").parquet(*cell_paths)
-        if cur.filter(F.col("gen") >= gen).limit(1).count():
-            keep = cur.filter(F.col("gen") < gen)
-            kept_cells = {r["cell"] for r in keep.select("cell").distinct().collect()}
-            if kept_cells:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-                (
-                    keep.repartition("cell")
-                    .write.mode("overwrite")
-                    .partitionBy("cell")
-                    .parquet(f"{out_dir}/cells")
-                )
-            # a touched dir whose every row was leftover garbage never
-            # appears in the overwrite output — drop it explicitly
-            for c in set(touched_cells) - kept_cells:
-                shutil.rmtree(f"{out_dir}/cells/cell={c}", ignore_errors=True)
-    (
-        assigned.repartition("cell")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{out_dir}/cells")
-    )
-    ids_new = emb_new.select("vec_id")
-    buckets = _touched_key_buckets(spark, out_dir, ids_new)
-    n_replaced = 0
-    if upsert:
-        # gen < gen-being-added: a replayed batch whose key index was
-        # already updated pre-crash must not tombstone its OWN rows
-        stale = buckets.filter(F.col("gen") < gen).join(ids_new, "vec_id").select(
-            "vec_id", F.col("gen").alias("upto_gen")
+    C = np.array(meta["centroids"], dtype=np.float64)
+    gen = int(meta["generations"])
+    emb_new = emb_new.persist()
+    try:
+        n_new = emb_new.count()
+        (
+            _assign_cells(emb_new, C)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{out_dir}/cells/gen={gen}")
         )
-        n_replaced = stale.count()
-        if n_replaced:
-            stale.write.mode("append").parquet(f"{out_dir}/tombstones")
-    merged = (
-        buckets.join(ids_new, "vec_id", "left_anti")
-        .select("vec_id", "gen", "vb")
-        .unionByName(
-            ids_new.withColumn("gen", F.lit(gen)).withColumn(
-                "vb", _vec_bucket("vec_id")
+        ids_new = emb_new.select("vec_id")
+        n_replaced = 0
+        # a torn prior attempt at this gen number may have left a
+        # tombstone dir; remove it so a no-replacement commit can't
+        # accidentally commit the torn attempt's rows
+        shutil.rmtree(f"{out_dir}/tombstones/gen={gen}", ignore_errors=True)
+        if upsert:
+            stale = _live_prior_versions(spark, out_dir, ids_new, gen).select(
+                "vec_id", F.col("gen").alias("upto_gen")
             )
+            n_replaced = stale.count()
+            if n_replaced:
+                stale.write.mode("overwrite").parquet(
+                    f"{out_dir}/tombstones/gen={gen}"
+                )
+        (
+            ids_new.withColumn("vb", _vec_bucket("vec_id"))
+            .repartition("vb")
+            .write.mode("overwrite")
+            .partitionBy("vb")
+            .parquet(f"{out_dir}/keyindex/gen={gen}")
         )
-    )
-    # every touched bucket keeps its new rows, so each appears in the
-    # output and the dynamic overwrite rewrites exactly those dirs
-    _overwrite_key_buckets(merged, out_dir)
-    meta["generations"] = gen + 1
-    meta["n_vectors"] = int(meta["n_vectors"]) + int(n_new) - n_replaced
-    _write_ivf_meta(out_dir, meta)
+        meta["generations"] = gen + 1
+        meta["n_vectors"] = int(meta["n_vectors"]) + int(n_new) - n_replaced
+        _write_ivf_meta(out_dir, meta)
+    finally:
+        emb_new.unpersist()
     return {"added": int(n_new), "replaced": int(n_replaced), "generation": gen}
 
 
 def delete_from_ann_index(spark, out_dir: str, vec_ids) -> dict:
     """Tombstone vectors out of a persisted IVF index: every stored
-    generation of each id stops serving. Pure metadata write — no cell
-    file is touched; `compact_ann_index` reclaims the bytes. Only ids
-    the key index actually holds are tombstoned (idempotent: a repeat
-    delete finds nothing); the ids leave the key index so a later
-    `add` treats them as fresh — its higher gen outlives the old
-    tombstone (delete-then-reinsert, reference analog:
+    generation of each id stops serving. A delete is itself a
+    GENERATION — a gen=G dir holding only tombstone rows, committed by
+    the same ivf_meta write as an add (torn deletes are invisible and
+    replay-safe). Pure metadata write — no cell file is touched;
+    `compact_ann_index` reclaims the bytes. Only ids with a LIVE
+    version are tombstoned (idempotent: a repeat delete finds
+    nothing); a later `add` of a deleted id writes a higher gen that
+    outlives the tombstone (delete-then-reinsert, reference analog:
     /root/reference/ec2/parse_arxiv_papers/__main__.py:269-283)."""
     import shutil
 
     ids_df = spark.createDataFrame(
         [(int(v),) for v in vec_ids], "vec_id long"
     )
-    buckets = _touched_key_buckets(spark, out_dir, ids_df)
-    hit = buckets.join(ids_df, "vec_id")
-    stale = hit.select("vec_id", F.col("gen").alias("upto_gen"))
+    meta = _read_ivf_meta(out_dir)
+    gen = int(meta["generations"])
+    stale = _live_prior_versions(spark, out_dir, ids_df, gen).select(
+        "vec_id", F.col("gen").alias("upto_gen")
+    )
     n_del = stale.count()
     if n_del:
-        stale.write.mode("append").parquet(f"{out_dir}/tombstones")
-        merged = buckets.join(ids_df, "vec_id", "left_anti").select(
-            "vec_id", "gen", "vb"
-        )
-        # dynamic overwrite only rewrites partitions PRESENT in the
-        # output — a bucket whose every row was deleted never appears,
-        # so its stale dir must be removed explicitly
-        touched = {r["vb"] for r in hit.select("vb").distinct().collect()}
-        kept = {r["vb"] for r in merged.select("vb").distinct().collect()}
-        if kept:
-            _overwrite_key_buckets(merged, out_dir)
-        for b in touched - kept:
-            shutil.rmtree(f"{out_dir}/keyindex/vb={b}", ignore_errors=True)
-        meta = _read_ivf_meta(out_dir)
+        shutil.rmtree(f"{out_dir}/tombstones/gen={gen}", ignore_errors=True)
+        stale.write.mode("overwrite").parquet(f"{out_dir}/tombstones/gen={gen}")
+        meta["generations"] = gen + 1
         meta["n_vectors"] = int(meta["n_vectors"]) - int(n_del)
         _write_ivf_meta(out_dir, meta)
     return {"deleted": int(n_del)}
 
 
 def compact_ann_index(spark, out_dir: str) -> dict:
-    """Rewrite the cells dropping every tombstoned row, then clear the
-    tombstone set — the vacuum analog for the vector store. Rewrites
-    into a fresh directory and atomically swaps (rename), so a crash
-    mid-compact leaves the old index intact."""
+    """Merge every committed generation into one, dropping tombstoned
+    rows and clearing the tombstone set — the vacuum analog for the
+    vector store. The survivors are written at the HIGHEST committed
+    gen number (so any tombstone that survives a crash window can only
+    reference strictly-lower gens and kills nothing), staged under
+    .compact/ and swapped in by rename: keyindex first, then cells,
+    then the tombstone clear, then the meta write — every intermediate
+    crash state serves correctly (old cells + old tombstones, or
+    compacted cells whose gen out-ranks every old tombstone)."""
     import os
     import shutil
 
     meta = _read_ivf_meta(out_dir)
-    cells_dir = f"{out_dir}/cells"
-    tomb_dir = f"{out_dir}/tombstones"
-    if not os.path.isdir(tomb_dir):
-        return {"compacted": False, "reason": "no tombstones"}
-    # gen-bound first: an interrupted add's uncommitted leftovers must
-    # not be laundered into permanence by a compaction that runs before
-    # the batch's replay
-    cells = spark.read.parquet(cells_dir).filter(
-        F.col("gen") < F.lit(int(meta["generations"]))
-    )
-    live = _exclude_tombstoned(cells, spark.read.parquet(tomb_dir))
+    n_gens = int(meta["generations"])
+    tomb = _visible_tombstones(spark, out_dir, n_gens)
+    if tomb is None and n_gens == 1:
+        return {"compacted": False, "reason": "single generation, no tombstones"}
+    cell_paths = _committed_gen_dirs(out_dir, "cells", n_gens)
+    if not cell_paths:
+        return {"compacted": False, "reason": "no committed cells"}
+    cells = spark.read.option("basePath", f"{out_dir}/cells").parquet(*cell_paths)
+    live = cells if tomb is None else _exclude_tombstoned(cells, tomb)
     n_live = live.count()
-    tmp = f"{out_dir}/.cells.compact"
-    shutil.rmtree(tmp, ignore_errors=True)
+    target = n_gens - 1
+    stage = f"{out_dir}/.compact"
+    shutil.rmtree(stage, ignore_errors=True)
     (
-        live.repartition("cell")
+        live.drop("gen")
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(tmp)
+        .parquet(f"{stage}/cells/gen={target}")
     )
-    old = f"{out_dir}/.cells.old"
+    (
+        live.select("vec_id")
+        .withColumn("vb", _vec_bucket("vec_id"))
+        .repartition("vb")
+        .write.mode("overwrite")
+        .partitionBy("vb")
+        .parquet(f"{stage}/keyindex/gen={target}")
+    )
+    old = f"{out_dir}/.compact.old"
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(cells_dir, old)
-    os.rename(tmp, cells_dir)
-    shutil.rmtree(old)
-    shutil.rmtree(tomb_dir)
+    os.makedirs(old)
+    for sub in ("keyindex", "cells"):  # keyindex first — see docstring
+        os.rename(f"{out_dir}/{sub}", f"{old}/{sub}")
+        os.rename(f"{stage}/{sub}", f"{out_dir}/{sub}")
+    shutil.rmtree(f"{out_dir}/tombstones", ignore_errors=True)
     meta["n_vectors"] = int(n_live)
     _write_ivf_meta(out_dir, meta)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     return {"compacted": True, "n_vectors": int(n_live)}
+
+
+def live_cells(spark, out_dir: str) -> DataFrame:
+    """Every LIVE row of a persisted index — committed generations
+    only, tombstone-excluded. The reader visibility rule in one place
+    (search applies the same rule to its probed subset)."""
+    meta = _read_ivf_meta(out_dir)
+    n_gens = int(meta["generations"])
+    paths = _committed_gen_dirs(out_dir, "cells", n_gens)
+    if not paths:
+        raise ValueError(f"{out_dir}: no committed cell generations")
+    cells = spark.read.option("basePath", f"{out_dir}/cells").parquet(*paths)
+    tomb = _visible_tombstones(spark, out_dir, n_gens)
+    return cells if tomb is None else _exclude_tombstoned(cells, tomb)
 
 
 def _exclude_tombstoned(cand: DataFrame, tomb: DataFrame) -> DataFrame:
@@ -662,9 +722,8 @@ def ann_ivf_search(
     rides in the cells, so no join is added to the serve path. Output
     gains a `wscore` column; `ann_rescored_topk` is the exact oracle
     for the same formula."""
-    import os
-
     meta = _read_ivf_meta(out_dir)
+    n_gens = int(meta["generations"])
     C = np.array(meta["centroids"], dtype=np.float64)
 
     Q = np.array(list(queries_pdf["qvec"]), dtype=np.float64)
@@ -676,31 +735,29 @@ def ann_ivf_search(
         for c in np.argsort(-row)[:n_probe]
     ]
     touched = sorted({c for _, c in probe_rows})
+    # probed cell dirs across COMMITTED generations only: a torn
+    # add/delete's gen dirs are structurally invisible (its gen number
+    # is >= the committed count) — no row-level visibility filter
     paths = [
-        p for c in touched
-        if os.path.isdir(p := f"{out_dir}/cells/cell={c}")
+        p
+        for c in touched
+        for p in _committed_gen_dirs(out_dir, "cells", n_gens, leaf=f"cell={c}")
     ]
     if not paths:
-        return spark.createDataFrame(
-            [], "query_id long, vec_id long, cos double, rnk int"
-        )
-    # basePath keeps the cell partition column parseable from the
+        cols = "query_id long, vec_id long, cos double, rnk int"
+        if rescore_col is not None:
+            cols = "query_id long, vec_id long, cos double, wscore double, rnk int"
+        return spark.createDataFrame([], cols)
+    # basePath keeps the gen/cell partition columns parseable from the
     # selected subdirectories
-    cells = (
-        spark.read.option("basePath", f"{out_dir}/cells")
-        .parquet(*paths)
-        # the ivf_meta write is add's COMMIT point: rows at
-        # gen >= generations are leftovers of an interrupted add and
-        # must stay invisible until the batch's replay commits them
-        .filter(F.col("gen") < F.lit(int(meta["generations"])))
-    )
+    cells = spark.read.option("basePath", f"{out_dir}/cells").parquet(*paths)
     if where is not None:
         # filter-before-rank: lands on the scan node, Catalyst pushes
         # it into the parquet reader of the probed cells
         cells = cells.filter(where)
-    tomb_dir = f"{out_dir}/tombstones"
-    if os.path.isdir(tomb_dir):
-        cells = _exclude_tombstoned(cells, spark.read.parquet(tomb_dir))
+    tomb = _visible_tombstones(spark, out_dir, n_gens)
+    if tomb is not None:
+        cells = _exclude_tombstoned(cells, tomb)
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
     qv = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in zip(queries_pdf["query_id"], Q)],
@@ -757,12 +814,26 @@ def ann_rescored_topk(
     `wscore = cos + weight·ln(prior) [prior>0 else +0]`, re-rank by
     (wscore DESC, cos DESC, vec_id ASC) and keep k.
 
+    A pooled candidate with NO prior row keeps its cosine score with a
+    +0 bonus (same as prior<=0) — the pool must never shrink just
+    because prior coverage is incomplete, and the served variant
+    (`ann_ivf_search(rescore_col=...)`) behaves the same way.
+
     Scale shape: the pool is Q·pool rows (tiny) and is BROADCAST into
     a single scan of the prior table — the big side never shuffles and
-    is never read outside that one pruned pass."""
+    is never read outside that one pruned pass; the no-prior remainder
+    is recovered with a small-vs-small anti-join."""
     pool = pool or max(50, 10 * k)
     pooled = brute_force_topk(emb, queries, k=pool).drop("rnk")
-    joined = prior.join(F.broadcast(pooled), "vec_id")
+    matched = prior.join(F.broadcast(pooled), "vec_id").withColumn(
+        "prior", F.col("prior").cast("double")
+    )
+    missing = pooled.join(
+        F.broadcast(matched.select("query_id", "vec_id")),
+        ["query_id", "vec_id"],
+        "left_anti",
+    ).withColumn("prior", F.lit(None).cast("double"))
+    joined = matched.select(*missing.columns).unionByName(missing)
     wscore = F.round(
         F.col("cos")
         + F.lit(weight)
@@ -881,11 +952,13 @@ ORACLES = {
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS pr
             FROM scored),
         resc AS (
+            -- LEFT join: a pooled candidate without a prior row keeps
+            -- its cosine with a +0 bonus (matches the Spark path)
             SELECT p.query_id, p.vec_id, p.cos,
                    round(p.cos + 0.05 * CASE WHEN d.n_chars > 0
                                              THEN ln(CAST(d.n_chars AS DOUBLE))
                                              ELSE 0 END, 4) AS wscore
-            FROM pooled p JOIN documents d ON d.doc_id = p.vec_id
+            FROM pooled p LEFT JOIN documents d ON d.doc_id = p.vec_id
             WHERE p.pr <= 100),
         ranked AS (
             SELECT *, row_number() OVER (
