@@ -316,11 +316,13 @@ def decode_image(
     raw: bytes,
 ) -> tuple[str | None, int | None, int | None, np.ndarray | None, int]:
     """(format, width, height, pixels|None, channels). Pixels come back
-    for the synthetic format and real 8-bit PNGs (gray/RGB/RGBA); the
-    remaining variants (16-bit/palette/interlaced PNG, JPEG, RIFF
-    video) return metadata only — their pixel decode is the one
-    remaining external-codec dependency. WEBP images inside a RIFF
-    container report dimensions from the VP8/VP8L/VP8X headers."""
+    for the synthetic format, real 8-bit PNGs (gray/RGB/RGBA), baseline
+    JPEG (gray/YCbCr, any legal sampling — `jpegcodec.py`), GIF (first
+    frame) and 24-bit BMP; the remaining variants (16-bit/palette/
+    interlaced PNG, progressive JPEG, RIFF/WEBP) return metadata only —
+    their pixel decode is the remaining external-codec dependency.
+    WEBP images inside a RIFF container report dimensions from the
+    VP8/VP8L/VP8X headers."""
     fmt = sniff_format(raw)
     if fmt == "synthetic":
         w, h = struct.unpack("<II", raw[4:12])
@@ -334,7 +336,15 @@ def decode_image(
         return fmt, hdr["width"], hdr["height"], px, c
     if fmt == "jpeg":
         dims = parse_jpeg_dims(raw)
-        return (fmt, dims[0], dims[1], None, 0) if dims else (fmt, None, None, None, 0)
+        if not dims:
+            return fmt, None, None, None, 0
+        from theoremsearch_spark.functions.jpegcodec import decode_jpeg_pixels
+
+        d = decode_jpeg_pixels(raw)
+        if d is not None:
+            px, c = d
+            return fmt, dims[0], dims[1], px.reshape(-1), c
+        return fmt, dims[0], dims[1], None, 0
     if fmt == "riff":
         dims = parse_webp_dims(raw)
         if dims:
@@ -649,12 +659,13 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 def resize_stub(media: DataFrame, max_side: int) -> DataFrame:
     """Resize: payload → payload (binary→binary mapInPandas). Real
     end-to-end for the synthetic format, 8-bit gray/RGB/RGBA PNG,
+    baseline JPEG (decoded and re-emitted as JPEG via `jpegcodec.py`),
     24-bit BMP (re-emitted as BMP), and GIF (first frame decoded via
     the LZW path, re-emitted as PNG — a documented format conversion:
-    there is no stdlib GIF re-encode for RGB frames). Formats we cannot
-    decode to pixels (JPEG, palette/16-bit PNG, RIFF) raise
-    NotImplementedError — a silent pass-through would be a resize that
-    quietly did nothing. Unknown blobs pass through."""
+    there is no stdlib GIF re-encode for RGB frames). Variants we
+    cannot decode to pixels (progressive JPEG, palette/16-bit PNG,
+    RIFF) raise NotImplementedError — a silent pass-through would be a
+    resize that quietly did nothing. Unknown blobs pass through."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -675,6 +686,12 @@ def resize_stub(media: DataFrame, max_side: int) -> DataFrame:
                 img = px[: w * h * c].reshape(h, w, c)[::step, ::step]
                 if fmt in ("png", "gif"):
                     out.append((int(mid), encode_png(img)))
+                elif fmt == "jpeg":
+                    from theoremsearch_spark.functions.jpegcodec import (
+                        encode_jpeg_baseline,
+                    )
+
+                    out.append((int(mid), encode_jpeg_baseline(img, quality=90)))
                 elif fmt == "bmp":
                     out.append((int(mid), encode_bmp(img)))
                 else:
