@@ -5,7 +5,8 @@ Usage:
       --index <index root from build_index> \
       [--queries <parquet/csv with query_id,query_text> | --synth-queries N_DOCS] \
       [--k 10] [--out <parquet path>] \
-      [--filter lang=en --filter source=a,source=b ...]
+      [--filter lang=en --filter source=a,source=b ...] \
+      [--mode and] [--not-term spam ...] [--phrase]
 
 The batch analog of the reference's serving query
 (/root/reference/streamlit_app.py:252-283): ranked top-k ids joined
@@ -51,6 +52,22 @@ def main(argv: list[str] | None = None) -> int:
              "grows with the batch — BENCH/BASELINE.md r4); ~300 is a "
              "good bound at the reference corpus shape",
     )
+    p.add_argument(
+        "--mode", choices=("or", "and"), default="or",
+        help="'and' = conjunctive serving: only docs containing every "
+             "query term qualify (still BM25-ranked)",
+    )
+    p.add_argument(
+        "--not-term", action="append", default=[],
+        help="must-not term (repeatable): docs containing it are "
+             "excluded before scoring",
+    )
+    p.add_argument(
+        "--phrase", action="store_true",
+        help="treat each query_text as an exact PHRASE: conjunctive "
+             "candidates verified for token adjacency against the "
+             "stored document text (--index roots only)",
+    )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("ts-query-topk").getOrCreate()
@@ -66,7 +83,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if bool(args.index) == bool(args.gens):
         p.error("exactly one of --index / --gens is required")
+    if args.phrase and not args.index:
+        p.error("--phrase needs an --index root (verification reads its docs/)")
     filters = [g.split(",") if "," in g else g for g in args.filter]
+    not_terms = args.not_term or None
 
     t0 = time.monotonic()
     if args.gens:
@@ -84,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             topk_all_generations(
                 spark, args.gens, qs, k=args.k, filters=filters or None,
-                max_batch=args.max_batch,
+                max_batch=args.max_batch, mode=args.mode, not_terms=not_terms,
             ),
         )
         # same output schema as the --index branches: ranked ids joined
@@ -122,18 +142,30 @@ def main(argv: list[str] | None = None) -> int:
         hits = ranked.join(
             docs.select("doc_id", *meta_cols), "doc_id", "left"
         ).orderBy("query_id", F.col("rank"))
-    elif filters or args.max_batch:
+    elif filters or args.max_batch or args.phrase or not_terms or args.mode != "or":
         from pyspark.sql import functions as F
 
         from theoremsearch_spark.query import _localize_hits, _pruned_doc_meta
 
-        ranked = _localize_hits(
-            spark,
-            topk_batched(
-                spark, f"{args.index}/index", qs, k=args.k,
-                max_batch=args.max_batch, filters=filters or None,
-            ),
-        )
+        if args.phrase:
+            from theoremsearch_spark.query import phrase_topk
+
+            ranked = _localize_hits(
+                spark,
+                phrase_topk(
+                    spark, f"{args.index}/index", f"{args.index}/docs", qs,
+                    k=args.k, filters=filters or None,
+                ),
+            )
+        else:
+            ranked = _localize_hits(
+                spark,
+                topk_batched(
+                    spark, f"{args.index}/index", qs, k=args.k,
+                    max_batch=args.max_batch, filters=filters or None,
+                    mode=args.mode, not_terms=not_terms,
+                ),
+            )
         # doc_id-range-pruned metadata lookup — the same scan bound the
         # no-filter path gets via topk_with_urls
         docs = _pruned_doc_meta(

@@ -43,3 +43,21 @@ def index_dir(tmp_path_factory, spark, corpus_df):
     docs_r = prepare_docs(corpus_df, d, num_partitions=8)
     build_index(docs_r, f"{d}/index", salt_threshold=900, n_segments=4, n_buckets=8)
     return d
+
+
+@pytest.fixture(scope="session")
+def docs_pdf(spark, index_dir):
+    return spark.read.parquet(f"{index_dir}/docs").toPandas()
+
+
+@pytest.fixture(scope="session")
+def oracle(docs_pdf, corpus_pdf):
+    # oracle over the engine's (doc_id, url) assignment with the
+    # generator's ground-truth text per url (independent of the
+    # extraction UDF; byte-identity of extraction is locked separately)
+    from tests.oracle import BM25Oracle
+
+    truth = docs_pdf[["doc_id", "url"]].merge(
+        corpus_pdf[["url", "text"]], on="url", validate="one_to_one"
+    )
+    return BM25Oracle(truth)

@@ -78,3 +78,51 @@ class BM25Oracle:
                 "score": s[order],
             }
         )
+
+    def topk_mode(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        mode: str = "or",
+        not_terms=None,
+        phrase: bool = False,
+    ) -> pd.DataFrame:
+        """Brute-force mode-aware top-k: conjunctive candidate sets,
+        must-not exclusion, and ordered-adjacency phrase matching over
+        the raw token streams — the ground truth for topk(mode=...),
+        topk(not_terms=...) and phrase_topk."""
+        s = self.score(query)
+        if mode == "and":
+            qts = sorted(set(tokenize(query)))
+            cand: np.ndarray | None = None
+            for t in qts:
+                ids = self.postings.get(t, (np.empty(0, np.int64),))[0]
+                cand = ids if cand is None else np.intersect1d(cand, ids)
+            cand = cand if cand is not None else np.empty(0, np.int64)
+        else:
+            cand = np.flatnonzero(s > 0)
+        for t in not_terms or []:
+            if t in self.postings:
+                cand = np.setdiff1d(cand, self.postings[t][0])
+        if phrase:
+            seq = tokenize(query)
+            n = len(seq)
+            keep = [
+                d
+                for d in cand
+                if any(
+                    list(self.tokens[d][i : i + n]) == seq
+                    for i in range(len(self.tokens[d]) - n + 1)
+                )
+            ]
+            cand = np.array(keep, dtype=np.int64)
+        order = cand[np.argsort(-s[cand], kind="stable")][:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, order.size + 1, dtype=np.int32),
+                "doc_id": order.astype(np.int64),
+                "url": self.urls[order],
+                "score": s[order],
+            }
+        )

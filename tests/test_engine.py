@@ -6,27 +6,14 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from tests.oracle import BM25Oracle
 from theoremsearch_spark import codec
 from theoremsearch_spark.corpus import generate_queries, query_set
 from theoremsearch_spark.extract import tokenize
 from theoremsearch_spark.query import _score_group, topk, topk_with_urls
 
 
-@pytest.fixture(scope="session")
-def docs_pdf(spark, index_dir):
-    return spark.read.parquet(f"{index_dir}/docs").toPandas()
-
-
-@pytest.fixture(scope="session")
-def oracle(docs_pdf, corpus_pdf):
-    # oracle over the engine's (doc_id, url) assignment with the
-    # generator's ground-truth text per url (independent of the
-    # extraction UDF; byte-identity of extraction is locked separately)
-    truth = docs_pdf[["doc_id", "url"]].merge(
-        corpus_pdf[["url", "text"]], on="url", validate="one_to_one"
-    )
-    return BM25Oracle(truth)
+# docs_pdf / oracle fixtures live in conftest.py (shared with
+# test_query_modes.py).
 
 
 def test_doc_ids_dense_and_deterministic(docs_pdf, spark, corpus_df, tmp_path):

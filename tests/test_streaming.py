@@ -103,6 +103,42 @@ def test_incremental_generations_match_batch_oracle(spark, stream_index):
         )
 
 
+def test_multi_generation_and_not_modes(spark, stream_index):
+    """Conjunctive and must-not serving across generations: merged
+    global stats + per-segment intersection must match the brute-force
+    mode-aware oracle over the union corpus."""
+    from theoremsearch_spark.streaming.incremental import _generations
+
+    out = stream_index["out"]
+    full = stream_index["full"]
+    gens = pd.DataFrame(_generations(spark, out)).sort_values("gen")
+    docs_parts = []
+    for g in gens.itertuples():
+        p = f"{out}/gen_{g.gen}/docs" if g.base == 0 else f"{out}/gen_{g.gen}/docs_offset"
+        docs_parts.append(spark.read.parquet(p).select("doc_id", "url").toPandas())
+    all_docs = pd.concat(docs_parts).sort_values("doc_id").reset_index(drop=True)
+    truth = all_docs.merge(full[["url", "text"]], on="url", validate="one_to_one")
+    oracle = BM25Oracle(truth)
+    banned, _ = max(oracle.postings.items(), key=lambda kv: kv[1][0].size)
+
+    qs = query_set(N_DOCS)[["query_id", "query_text"]].head(10)
+    got_and = topk_all_generations(spark, out, qs, k=10, mode="and").toPandas()
+    got_not = topk_all_generations(
+        spark, out, qs, k=10, not_terms=[banned]
+    ).toPandas()
+    for qid, row in qs.set_index("query_id").iterrows():
+        for got_all, kw in (
+            (got_and, dict(mode="and")),
+            (got_not, dict(not_terms=[banned])),
+        ):
+            want = oracle.topk_mode(row["query_text"], k=10, **kw)
+            got = got_all[got_all["query_id"] == qid].sort_values("rank")
+            assert got["doc_id"].tolist() == want["doc_id"].tolist(), (qid, kw)
+            np.testing.assert_allclose(
+                got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
+            )
+
+
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
     # batch-vs-stream parity: run the same aggregation on a file stream
     # and on the static frame

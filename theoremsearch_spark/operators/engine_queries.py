@@ -226,13 +226,18 @@ def _hybrid_rrf_oracle_sql() -> str:
     """
 
 
-def _bm25_scored_cte(corpus: str = "documents", queries=HARNESS_QUERIES) -> str:
+def _bm25_scored_cte(
+    corpus: str = "documents", queries=HARNESS_QUERIES, with_nt: bool = False
+) -> str:
     """Shared CTE chain: textbook BM25 over `corpus` (a table name or a
     prior CTE with doc_id, text), one score row per (query, doc) with
-    global corpus statistics."""
+    global corpus statistics. `with_nt` adds `nt` = the number of
+    DISTINCT query terms the doc matched (conjunctive serving's
+    qualification count)."""
     qvals = ", ".join(
         f"({qid}, '{term}')" for qid, text in queries for term in sorted(set(text.split()))
     )
+    nt = ", count(*) AS nt" if with_nt else ""
     return f"""
         tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {corpus}),
@@ -246,7 +251,7 @@ def _bm25_scored_cte(corpus: str = "documents", queries=HARNESS_QUERIES) -> str:
                    sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
                        * tf.tf * ({DEFAULT_K1} + 1)
                        / (tf.tf + {DEFAULT_K1} * (1 - {DEFAULT_B} + {DEFAULT_B} * dl.dl / stats.avgdl))
-                   ) AS s
+                   ) AS s{nt}
             FROM tf JOIN q USING (term) JOIN df USING (term)
                  JOIN dl USING (doc_id) CROSS JOIN stats
             GROUP BY 1, 2)"""
@@ -665,8 +670,123 @@ def _bm25_display_oracle_sql() -> str:
     """
 
 
+PHRASE_QUERIES = [
+    (0, "fast key"),
+    (1, "window merge"),
+    (2, "hash join"),
+    (3, "batch window spark"),  # 0 matches at sf0.001, 1 at sf0.01
+]
+NOT_TERMS = ["merge"]  # common token — a material exclusion set
+
+
+def q_bm25_and_topk(spark, sf_dir):
+    """Conjunctive top-k: only docs containing EVERY query term qualify
+    (rarest-first posting intersection with restrict-pushdown decode),
+    still BM25-ranked with global stats. The oracle qualifies docs by
+    matched-distinct-term count == the query's term count."""
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    hits = topk(spark, idx, qs, k=K, mode="and")
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "rank")
+
+
+def q_bm25_not_topk(spark, sf_dir):
+    """Must-not serving: docs containing any NOT_TERMS member are
+    excluded BEFORE scoring (their postings fold into the exclusion
+    mask at decode time), so survivors keep unmodified BM25 scores.
+    Note query 0 itself contains 'merge' — its other terms still
+    rank the merge-free docs."""
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    hits = topk(spark, idx, qs, k=K, not_terms=NOT_TERMS)
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "rank")
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact-phrase top-k: conjunctive candidates from the inverted
+    index, token-adjacency verified against the documents table via
+    the tokenizer's own normalization (JVM string ops), BM25-ranked.
+    The oracle recomputes the same three stages in SQL — conjunctive
+    qualification, ' t1 t2 ' containment on the space-joined token
+    text, rank by score."""
+    from theoremsearch_spark.query import phrase_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(PHRASE_QUERIES, columns=["query_id", "query_text"])
+    hits = phrase_topk(
+        spark, idx, os.path.join(sf_dir, "documents.parquet"), qs, k=K,
+        text_col="text",
+    )
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "rank")
+
+
+def _bm25_and_oracle_sql(queries=HARNESS_QUERIES, extra_where: str = "") -> str:
+    qn = ", ".join(
+        f"({qid}, {len(set(text.split()))})" for qid, text in queries
+    )
+    return f"""
+        WITH {_bm25_scored_cte(queries=queries, with_nt=True)},
+        qn(query_id, n) AS (VALUES {qn}),
+        conj AS (
+            SELECT s.query_id, s.doc_id, s.s
+            FROM scored s JOIN qn USING (query_id)
+                 JOIN documents d USING (doc_id)
+            WHERE s.nt = qn.n{extra_where}),
+        ranked AS (
+            SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+            FROM conj)
+        SELECT query_id, rank, doc_id, round(s, 4) AS score
+        FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+    """
+
+
+def _bm25_not_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in NOT_TERMS)
+    return f"""
+        WITH {_bm25_scored_cte()},
+        banned AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms})),
+        kept AS (
+            SELECT s.* FROM scored s
+            WHERE NOT EXISTS (SELECT 1 FROM banned x WHERE x.doc_id = s.doc_id)),
+        ranked AS (
+            SELECT query_id, doc_id, s,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+            FROM kept)
+        SELECT query_id, rank, doc_id, round(s, 4) AS score
+        FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+    """
+
+
+def _phrase_oracle_sql() -> str:
+    # documents.text IS the space-joined token stream, so adjacency ==
+    # ' needle ' containment in ' ' || text || ' ' — the same invariant
+    # phrase_topk's normalized-contains uses on the Spark side
+    needles = ", ".join(f"({qid}, ' {text} ')" for qid, text in PHRASE_QUERIES)
+    phrase_where = (
+        " AND contains(' ' || d.text || ' ', "
+        "(SELECT needle FROM p WHERE p.query_id = s.query_id))"
+    )
+    base = _bm25_and_oracle_sql(queries=PHRASE_QUERIES, extra_where=phrase_where)
+    # graft the needle CTE into the WITH chain
+    return base.replace(
+        "qn(query_id, n) AS",
+        f"p(query_id, needle) AS (VALUES {needles}),\n        qn(query_id, n) AS",
+        1,
+    )
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "bm25_and_topk": q_bm25_and_topk,
+    "bm25_not_topk": q_bm25_not_topk,
+    "phrase_topk": q_phrase_topk,
     "bm25_topk_display": q_bm25_topk_display,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_rescored": q_bm25_topk_rescored,
@@ -678,6 +798,12 @@ QUERIES = {
 }
 ORACLES = {
     "bm25_topk": _bm25_oracle_sql(),
+    # conjunctive serving == BM25 over docs matching ALL query terms
+    "bm25_and_topk": _bm25_and_oracle_sql(),
+    # must-not serving == BM25 minus docs containing any banned term
+    "bm25_not_topk": _bm25_not_oracle_sql(),
+    # phrase serving == conjunctive + token-adjacency containment
+    "phrase_topk": _phrase_oracle_sql(),
     "bm25_topk_display": _bm25_display_oracle_sql(),
     "bm25_topk_filtered": _bm25_filtered_oracle_sql(),
     "bm25_topk_rescored": _bm25_rescored_oracle_sql(),

@@ -106,7 +106,7 @@ class _Cols:
     __slots__ = (
         "term_id", "segment", "block_id", "df", "first_doc", "last_doc",
         "n_docs", "max_norm", "doc_bytes", "tf_bytes", "dl_bytes",
-        "is_filter", "fgroup", "id2term",
+        "is_filter", "fgroup", "is_not", "id2term",
     )
 
     def __init__(self, pdf: pd.DataFrame):
@@ -134,6 +134,10 @@ class _Cols:
         else:
             self.is_filter = np.zeros(len(pdf), dtype=bool)
             self.fgroup = np.full(len(pdf), -1, dtype=np.int64)
+        if "is_not" in pdf.columns:
+            self.is_not = pdf["is_not"].to_numpy(bool)[o]
+        else:
+            self.is_not = np.zeros(len(pdf), dtype=bool)
         self.id2term = dict(
             zip(pdf["term_id"].to_numpy(np.int64), pdf["term"].to_numpy())
         )
@@ -208,6 +212,7 @@ def _score_group(
     k: int,
     allowed_global: np.ndarray | None = None,
     excluded_global: np.ndarray | None = None,
+    mode: str = "or",
 ) -> pd.DataFrame:
     """Score one (query, segment) group's posting blocks; returns this
     segment's exact top-k as (query_id, doc_id, score) rows.
@@ -217,6 +222,23 @@ def _score_group(
     are dropped right after decode, before they can enter filter sets,
     partial scores, or candidates. Masking only ever REMOVES docs, so
     every block-max / suffix upper bound stays sound.
+
+    `mode="and"` serves the CONJUNCTIVE query: only docs containing
+    EVERY scoring term qualify. Evaluation is the classic rarest-first
+    intersection — each subsequent term's blocks are decoded with
+    `restrict=` the current candidate set, so block-range pruning
+    shrinks the work per term instead of MaxScore's threshold pruning
+    (which doesn't apply: the AND set needs no score threshold to be
+    exact). A query term missing from the index (or from this doc
+    segment) makes the conjunction empty — `n_req` in the fan frame
+    carries the query's pre-merge distinct-token count so the scorer
+    can tell "term unindexed" from "term elsewhere". With `k <= 0` the
+    full AND candidate set is returned (the phrase-verification pool).
+
+    Rows flagged `is_not` are MUST-NOT terms (either mode): their
+    postings are decoded up front (restricted to the allowed set) and
+    folded into the excluded mask, so matching docs never enter filter
+    sets, partial scores, or candidates.
 
     pdf columns: query_id, serve_seg, q_segs, n_fgroups, term, df,
     is_filter, fgroup, segment, block_id, first_doc, last_doc, n_docs,
@@ -295,7 +317,24 @@ def _score_group(
             if allowed.size == 0:
                 return _EMPTY_GROUP
 
-    score_terms = term_slices(~c.is_filter)
+    # ---- must-not terms: fold their postings into the excluded mask ----
+    if c.is_not.any():
+        not_ids: list[np.ndarray] = []
+        for _, tidx in term_slices(c.is_not):
+            di, _, _ = _decode_run(
+                _ColSlice(c, tidx), q_segs=q_segs, seg=seg, restrict=allowed
+            )
+            if di.size:
+                not_ids.append(di)
+        if not_ids:
+            merged_not = not_ids[0] if len(not_ids) == 1 else np.unique(
+                np.concatenate(not_ids)
+            )
+            excluded = merged_not if excluded is None else np.union1d(
+                excluded, merged_not
+            )  # drop_dead reads the rebound name — all later decodes mask
+
+    score_terms = term_slices(~c.is_filter & ~c.is_not)
     if not score_terms:
         return _EMPTY_GROUP
 
@@ -315,6 +354,29 @@ def _score_group(
 
     def tf_norm(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
         return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    if mode == "and":
+        # conjunctive: a query token that never made it into the fan
+        # (unindexed) empties the result; one that is indexed but has no
+        # postings in this doc segment empties THIS segment (correct —
+        # no doc of this residue contains it). Rarest-first intersection
+        # with restrict-pushdown: term i+1's blocks outside the current
+        # candidate range are never decoded.
+        n_req = int(pdf["n_req"].iloc[0]) if "n_req" in pdf else 0
+        if len(score_terms) < n_req:
+            return _EMPTY_GROUP
+        cand: np.ndarray | None = allowed
+        for j in order:
+            di, tf, dl = drop_dead(_decode_run(
+                _ColSlice(c, score_terms[j][1]), q_segs=q_segs, seg=seg,
+                restrict=cand,
+            ))
+            if di.size == 0:
+                return _EMPTY_GROUP
+            decoded[t_str[j]] = (di, tf, dl)
+            cand = di  # restrict guarantees di ⊆ previous candidates
+        cand_sorted = cand
+        return _exact_rescore(qid, cand_sorted, decoded, term_idf, tf_norm, k)
 
     # phase 1: exact partial scoring, rarest-first, with suffix-UB cutoff
     # (vectorized sorted-merge accumulation — no per-posting Python)
@@ -359,8 +421,21 @@ def _score_group(
             _ColSlice(c, score_terms[j][1]), q_segs=q_segs, seg=seg, restrict=cand_sorted
         ))
 
-    # phase 3: exact re-score of candidates in canonical (lexicographic)
-    # term order — bitwise-reproducible vs the single-node oracle
+    return _exact_rescore(qid, cand_sorted, decoded, term_idf, tf_norm, k)
+
+
+def _exact_rescore(
+    qid: int,
+    cand_sorted: np.ndarray,
+    decoded: dict,
+    term_idf: dict,
+    tf_norm,
+    k: int,
+) -> pd.DataFrame:
+    """Exact re-score of candidates in canonical (lexicographic) term
+    order — bitwise-reproducible vs the single-node oracle — then top-k
+    by (score DESC, doc_id ASC). `k <= 0` keeps every scored candidate
+    (the conjunctive phrase-verification pool)."""
     final = np.zeros(cand_sorted.size, dtype=np.float64)
     for term in sorted(decoded):
         di, tf, dl = decoded[term]
@@ -374,7 +449,7 @@ def _score_group(
 
     nz = final > 0
     ids, sc = cand_sorted[nz], final[nz]
-    take = min(k, ids.size)
+    take = ids.size if k <= 0 else min(k, ids.size)
     # top-k by (score DESC, doc_id ASC); ids ascending → stable mergesort
     o = np.argsort(-sc, kind="stable")[:take]
     return pd.DataFrame({"query_id": qid, "doc_id": ids[o], "score": sc[o]})
@@ -401,15 +476,23 @@ def _build_qterms(
     fgroups: list[list[str]],
     salt_threshold: int,
     n_segments: int,
+    not_terms: list[str] | None = None,
 ) -> pd.DataFrame | None:
-    """(query_id, term, term_id, df, is_filter, fgroup, q_segs,
-    n_fgroups) — the broadcast fan side. Returns None when a required
-    filter group has no indexed term (conjunction unsatisfiable)."""
+    """(query_id, term, term_id, df, is_filter, fgroup, is_not, n_req,
+    q_segs, n_fgroups) — the broadcast fan side. Returns None when a
+    required filter group has no indexed term (conjunction
+    unsatisfiable). `not_terms` are batch-global MUST-NOT terms — rows
+    flagged is_not; an unindexed must-not term excludes nothing, so it
+    drops out at the tstats merge. `n_req` is the query's pre-merge
+    distinct scoring-token count (conjunctive serving needs it to tell
+    unindexed-term-in-query apart from indexed-but-elsewhere)."""
     qt = queries.assign(terms=queries["query_text"].map(lambda s: sorted(set(tokenize(s)))))
+    nreq_map = dict(zip(qt["query_id"], qt["terms"].map(len)))
     pairs = qt[["query_id", "terms"]].explode("terms").dropna()
     pairs = pairs.rename(columns={"terms": "term"})
     pairs["is_filter"] = False
     pairs["fgroup"] = -1
+    pairs["is_not"] = False
 
     if fgroups:
         frows = pd.DataFrame(
@@ -423,8 +506,22 @@ def _build_qterms(
         qids = pd.DataFrame({"query_id": queries["query_id"].unique()})
         f = frows.merge(qids, how="cross")
         f["is_filter"] = True
+        f["is_not"] = False
         pairs = pd.concat(
-            [pairs, f[["query_id", "term", "is_filter", "fgroup"]]], ignore_index=True
+            [pairs, f[["query_id", "term", "is_filter", "fgroup", "is_not"]]],
+            ignore_index=True,
+        )
+
+    if not_terms:
+        nrows = pd.DataFrame({"term": sorted(set(not_terms))})
+        qids = pd.DataFrame({"query_id": queries["query_id"].unique()})
+        nr = nrows.merge(qids, how="cross")
+        nr["is_filter"] = False
+        nr["fgroup"] = -1
+        nr["is_not"] = True
+        pairs = pd.concat(
+            [pairs, nr[["query_id", "term", "is_filter", "fgroup", "is_not"]]],
+            ignore_index=True,
         )
 
     qterm = pairs.merge(tstats, on="term")  # drops unindexed scoring terms
@@ -440,6 +537,7 @@ def _build_qterms(
     q_segs = heavy.map(lambda h: n_segments if h else 1).rename("q_segs")
     qterm = qterm.merge(q_segs.reset_index(), on="query_id")
     qterm["n_fgroups"] = len(fgroups)
+    qterm["n_req"] = qterm["query_id"].map(nreq_map).fillna(0).astype(int)
     return qterm
 
 
@@ -449,7 +547,8 @@ def _fan(spark: SparkSession, blocks: DataFrame, qterm: pd.DataFrame, salt_thres
     (bounded bytes by the salt threshold) replicate to the query's S
     tasks; single-task queries route everything to (q, 0)."""
     qterm_df = spark.createDataFrame(
-        qterm[["query_id", "term", "term_id", "df", "is_filter", "fgroup", "q_segs", "n_fgroups"]]
+        qterm[["query_id", "term", "term_id", "df", "is_filter", "fgroup",
+               "is_not", "n_req", "q_segs", "n_fgroups"]]
     )
     fan = blocks.join(F.broadcast(qterm_df), "term_id")
     # a SALTED list's segment-s blocks route to exactly task (q, s);
@@ -489,10 +588,21 @@ def topk_frames(
     excluded_docs=None,
     salt_threshold: int | None = None,
     n_segments: int = 1,
+    mode: str = "or",
+    not_terms: list[str] | None = None,
 ) -> DataFrame:
     """Batch top-k over explicit frames: `blocks` = posting blocks
     (possibly a union of index generations), `tstats` = pandas term
     dictionary (term, term_id, df) already merged across generations.
+
+    `mode="and"`: conjunctive serving — only docs containing every
+    scoring term qualify (rarest-first intersection in the scorer,
+    restrict-pushdown decode). With `k <= 0` every conjunctive
+    candidate is returned, ranked — the phrase-verification pool
+    (k <= 0 is rejected for mode="or": the disjunctive candidate set is
+    corpus-sized for any common term). `not_terms`: batch-global
+    MUST-NOT terms — docs containing any of them are excluded before
+    scoring, both modes.
 
     `excluded_docs`: doc_ids of tombstoned (superseded) document
     versions — an id iterable or a `codec.PackedDocIdSet` (compressed
@@ -506,10 +616,16 @@ def topk_frames(
     With `n_segments > 1` + `salt_threshold`, heavy-term queries are
     segment-sharded (see module docstring); the per-query group shuffle
     then moves O(segments·k) result rows, never whole posting lists."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if k <= 0 and mode != "and":
+        raise ValueError("k <= 0 (full candidate set) requires mode='and'")
     fgroups = _normalize_filters(filters)
     if salt_threshold is None:
         salt_threshold = 2**62  # nothing is heavy → single-task queries
-    qterm = _build_qterms(queries, tstats, fgroups, salt_threshold, n_segments)
+    qterm = _build_qterms(
+        queries, tstats, fgroups, salt_threshold, n_segments, not_terms=not_terms
+    )
     if qterm is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
     ids = [int(x) for x in qterm["term_id"].unique()]
@@ -566,16 +682,17 @@ def topk_frames(
             k=k,
             allowed_global=None if allowed_bc is None else allowed_bc.value,
             excluded_global=excl,
+            mode=mode,
         )
 
     part = fan.groupBy("query_id", "serve_seg").applyInPandas(score, schema=_GROUP_SCHEMA)
-    # global merge: ≤ S·k tiny rows per query (TakeOrdered-shaped window)
+    # global merge: ≤ S·k tiny rows per query (TakeOrdered-shaped window);
+    # k <= 0 (conjunctive pool) ranks but keeps every candidate
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        part.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    ranked = part.withColumn("rank", F.row_number().over(w))
+    if k > 0:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select("query_id", "rank", "doc_id", "score")
 
 
 def topk(
@@ -589,9 +706,16 @@ def topk(
     excluded_docs=None,
     k1: float | None = None,
     b: float | None = None,
+    mode: str = "or",
+    not_terms: list[str] | None = None,
 ) -> DataFrame:
     """Batch top-k: queries pandas(query_id, query_text) → Spark DF of
     (query_id, rank, doc_id, score).
+
+    `mode="and"`: conjunctive serving — only docs containing EVERY
+    query term qualify (still BM25-scored and ranked). `not_terms`:
+    batch-global must-not terms, docs containing any are excluded
+    before scoring (see topk_frames).
 
     `filters`: conjunctive filter groups over build-time `filter_terms`
     posting lists (each group a term or an OR-list) — reference R3.
@@ -636,6 +760,7 @@ def topk(
     all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
     for g in _normalize_filters(filters):
         all_terms.extend(g)
+    all_terms.extend(not_terms or [])
     tstats = (
         spark.read.parquet(f"{index_dir}/term_stats")
         .filter(F.col("term").isin(all_terms))
@@ -647,6 +772,7 @@ def topk(
         n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k,
         filters=filters, allowed_docs=allowed_docs, excluded_docs=excluded_docs,
         salt_threshold=salt_threshold, n_segments=n_segments,
+        mode=mode, not_terms=not_terms,
     )
 
 
@@ -694,6 +820,71 @@ def topk_batched(
         if chunk_times is not None:
             chunk_times.append(time.monotonic() - t0)
     return spark.createDataFrame(pd.concat(parts, ignore_index=True), schema=TOPK_SCHEMA)
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    docs_dir: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    *,
+    filters=None,
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """Exact-phrase top-k: each query_text is a PHRASE — its tokens must
+    appear consecutively, in order, in the document. Two stages, both on
+    existing index physics (no positional postings):
+
+      1. candidates: conjunctive serving (`mode="and"`, k=0) — docs
+         containing every phrase token, WITH their BM25 scores. The
+         pool is bounded by the df of the phrase's rarest token, so for
+         content phrases it is tiny; posting blocks outside the running
+         intersection are never decoded.
+      2. verification: candidates' text fetched by file-pruned doc_id
+         point lookups (`_pruned_doc_meta` — reads only parquet files
+         whose recorded id span holds a candidate), normalized JVM-side
+         with the TOKENIZER'S OWN rule (lowercase, non-[a-z0-9] runs →
+         one space) and matched against ' t1 t2 … ' with `contains` —
+         codegen string ops, no Python in the loop. Normalized-text
+         adjacency is EXACTLY token adjacency because tokens are
+         maximal [a-z0-9] runs: any separator collapses to one space.
+
+    Survivors keep their conjunctive BM25 score; final rank is
+    (score DESC, doc_id ASC). Scale contract: candidate count ∝ rarest
+    df — a phrase of nothing but stopwords degrades toward a corpus
+    scan (same caveat class as a non-selective IVF filter); the
+    escalation path for that shape is a positional-postings sidecar,
+    not doc verification. Phrase-shaped matching the reference exposes
+    only as un-indexed ILIKE substring predicates over titles/names
+    (/root/reference/streamlit_app.py:220-231)."""
+    cand = _localize_hits(
+        spark,
+        topk(spark, index_dir, queries, k=0, mode="and", filters=filters),
+    )
+    needles = [
+        (int(qid), " " + " ".join(tokenize(str(txt))) + " ")
+        for qid, txt in zip(queries["query_id"], queries["query_text"])
+    ]
+    ndf = spark.createDataFrame(needles, "query_id int, needle string")
+    docs = _pruned_doc_meta(spark, docs_dir, cand, [text_col])
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
+        F.lit(" "),
+    )
+    verified = (
+        cand.select("query_id", "doc_id", "score")
+        .join(docs, "doc_id")
+        .join(F.broadcast(ndf), "query_id")
+        .filter(F.contains(norm, F.col("needle")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
 
 def topk_rescored(

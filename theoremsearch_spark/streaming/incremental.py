@@ -714,6 +714,7 @@ def _tombstone_artifact(dead: DataFrame):
 def topk_all_generations(
     spark: SparkSession, out_dir: str, queries, k: int = 10,
     filters=None, allowed_docs=None, max_batch: int = 0,
+    mode: str = "or", not_terms=None,
 ):
     """Query across every committed generation with globally merged
     statistics (N, avgdl, df) — scores are identical to a from-scratch
@@ -769,6 +770,9 @@ def topk_all_generations(
     k1, b = float(any_meta["k1"]), float(any_meta["b"])
 
     all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
+    # must-not terms need their merged stats rows too — without them the
+    # qterm merge would silently drop the exclusion
+    all_terms.extend(not_terms or [])
     fkeys = set()
     for g in _normalize_filters(filters):
         all_terms.extend(g)
@@ -931,6 +935,7 @@ def topk_all_generations(
     common = dict(
         n_docs=int(n_docs), avgdl=float(avgdl), k1=k1, b=b, k=k,
         n_segments=n_segments, filters=filters, allowed_docs=allowed_docs,
+        mode=mode, not_terms=not_terms,
     )
     if not max_batch or len(queries) <= max_batch:
         return topk_frames(
