@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
         "rank; pair selective filters with a larger --probe)",
     )
     p.add_argument(
+        "--max-batch", type=int, default=0,
+        help="search: serve in bounded chunks of this many queries "
+        "(0 = one batch); serve-prep (meta + tombstone set) runs once "
+        "and is shared across chunks",
+    )
+    p.add_argument(
         "--no-upsert", action="store_true",
         help="add: skip the prior-version lookup (caller guarantees fresh ids)",
     )
@@ -149,10 +155,14 @@ def main(argv: list[str] | None = None) -> int:
             qp = spark.read.parquet(args.queries).toPandas()[["query_id", "qvec"]]
         else:
             p.error("search requires --queries or --self-queries")
-        hits = ann_ivf_search(
+        from theoremsearch_spark.functions.similarity import ann_ivf_search_batched
+
+        chunk_times: list = []
+        hits = ann_ivf_search_batched(
             spark, args.index, qp, k=args.k, n_probe=args.probe or N_PROBE,
             where=args.where, rescore_col=args.rescore_col,
             rescore_weight=args.rescore_weight, pool=args.pool,
+            max_batch=args.max_batch, chunk_times=chunk_times,
         )
         if args.out:
             hits.write.mode("overwrite").parquet(args.out)
@@ -161,6 +171,11 @@ def main(argv: list[str] | None = None) -> int:
             hits.orderBy("query_id", "rnk").show(20, truncate=False)
             n = hits.count()
         out = {"job": "ann_index_search", "queries": len(qp), "result_rows": n}
+        if chunk_times:
+            st = sorted(chunk_times)
+            out["chunks"] = len(st)
+            out["chunk_p50_sec"] = round(st[len(st) // 2], 3)
+            out["chunk_p95_sec"] = round(st[min(len(st) - 1, int(len(st) * 0.95))], 3)
     out["wall_sec"] = round(time.monotonic() - t0, 2)
     print(json.dumps(out))
     spark.stop()

@@ -555,3 +555,56 @@ def test_ann_index_lifecycle(spark, emb_frames, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_ann_chunked_serving_identical(spark, emb_frames, tmp_path):
+    """Bounded-batch ANN serving (the vector-side topk_batched):
+    chunked results are identical to one big batch, and serve-prep
+    (tombstone aggregation) runs ONCE across chunks — the job count
+    follows J(c) = P + c·s, so the intercept 2·J(2) − J(4) must carry
+    the prep job; per-chunk prep would collapse it to ~0."""
+    from theoremsearch_spark.functions.similarity import (
+        add_to_ann_index,
+        ann_ivf_search_batched,
+        build_ann_index,
+    )
+
+    emb, _ = emb_frames
+    out = str(tmp_path / "ivf_chunk")
+    build_ann_index(emb, out)
+    # create tombstones so the prep stage has real work
+    add_to_ann_index(_upsert_batch(spark, emb), out)
+
+    emb_pdf = emb.toPandas().sort_values("vec_id")
+    qp = pd.DataFrame(
+        {
+            "query_id": range(16),
+            "qvec": [
+                emb_pdf.loc[emb_pdf.vec_id == q * PER_CLUSTER, "embedding"].iloc[0]
+                for q in range(16)
+            ],
+        }
+    )
+
+    sc = spark.sparkContext
+    def run(tag, **kw):
+        sc.setJobGroup(tag, tag)
+        try:
+            res = (
+                ann_ivf_search_batched(spark, out, qp, k=K, **kw)
+                .toPandas()
+                .sort_values(["query_id", "rnk"])
+                .reset_index(drop=True)
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return res, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    full, _ = run("ann_unchunked")
+    two, j2 = run("ann_2chunks", max_batch=8)
+    four, j4 = run("ann_4chunks", max_batch=4)
+    pd.testing.assert_frame_equal(full, two)
+    pd.testing.assert_frame_equal(full, four)
+    assert len(full) > 0
+    intercept = 2 * j2 - j4
+    assert intercept >= 1, f"tombstone prep not shared (j2={j2}, j4={j4})"

@@ -694,6 +694,7 @@ def ann_ivf_search(
     where: str | None = None,
     rescore_col: str | None = None, rescore_weight: float = 0.05,
     pool: int | None = None,
+    _prep: tuple | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a persisted IVF index (`build_ann_index`):
     per-query probe cells are computed driver-side against the stored
@@ -721,8 +722,17 @@ def ann_ivf_search(
     re-rank by (wscore DESC, cos DESC, vec_id ASC), keep k — the prior
     rides in the cells, so no join is added to the serve path. Output
     gains a `wscore` column; `ann_rescored_topk` is the exact oracle
-    for the same formula."""
-    meta = _read_ivf_meta(out_dir)
+    for the same formula.
+
+    `_prep`: (meta, tombstone DataFrame|None) computed ONCE by
+    `ann_ivf_search_batched` and shared across its chunks — the
+    serve-prep-runs-once discipline the text side's chunked serving
+    established (topk_all_generations max_batch)."""
+    if _prep is not None:
+        meta, tomb = _prep
+    else:
+        meta = _read_ivf_meta(out_dir)
+        tomb = _visible_tombstones(spark, out_dir, int(meta["generations"]))
     n_gens = int(meta["generations"])
     C = np.array(meta["centroids"], dtype=np.float64)
 
@@ -755,7 +765,6 @@ def ann_ivf_search(
         # filter-before-rank: lands on the scan node, Catalyst pushes
         # it into the parquet reader of the probed cells
         cells = cells.filter(where)
-    tomb = _visible_tombstones(spark, out_dir, n_gens)
     if tomb is not None:
         cells = _exclude_tombstoned(cells, tomb)
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
@@ -800,6 +809,53 @@ def ann_ivf_search(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cos", "wscore", "rnk")
     )
+
+
+def ann_ivf_search_batched(
+    spark, out_dir: str, queries_pdf, k: int = 10, *,
+    max_batch: int = 0, chunk_times: list | None = None, **search_kwargs,
+) -> DataFrame:
+    """Serve a large ANN query batch in bounded chunks of `max_batch`
+    queries — the vector-side analog of `query.topk_batched`: the
+    candidate working set (probed cells × queries in flight) grows with
+    the batch while per-core heap is fixed, so the WIDE side of a
+    packed cluster degrades first (measured 0.703→0.911 on the text
+    engine, BENCH/BASELINE.md r4). Chunks are independent scoring jobs;
+    results are identical to one big batch (per-query scoring, no
+    cross-query state).
+
+    Serve-prep runs ONCE: the index meta and the aggregated tombstone
+    set are computed up front and shared by every chunk (tombstones are
+    O(churn) rows — they localize to the driver once and re-enter each
+    chunk as a broadcast local relation, never a re-scan).
+
+    `chunk_times` receives each chunk's measured wall seconds —
+    bench.py derives real serving-latency p50/p95 from these."""
+    if not max_batch or len(queries_pdf) <= max_batch:
+        return ann_ivf_search(spark, out_dir, queries_pdf, k=k, **search_kwargs)
+    import time
+
+    meta = _read_ivf_meta(out_dir)
+    tomb = _visible_tombstones(spark, out_dir, int(meta["generations"]))
+    tomb_pdf = tomb.toPandas() if tomb is not None else None
+    if tomb_pdf is not None and not len(tomb_pdf):
+        tomb_pdf = None
+    parts = []
+    schema = None
+    for i in range(0, len(queries_pdf), max_batch):
+        t0 = time.monotonic()
+        tomb_local = (
+            spark.createDataFrame(tomb_pdf) if tomb_pdf is not None else None
+        )
+        res = ann_ivf_search(
+            spark, out_dir, queries_pdf.iloc[i : i + max_batch], k=k,
+            _prep=(meta, tomb_local), **search_kwargs,
+        )
+        schema = res.schema
+        parts.append(res.toPandas())
+        if chunk_times is not None:
+            chunk_times.append(time.monotonic() - t0)
+    return spark.createDataFrame(pd.concat(parts, ignore_index=True), schema=schema)
 
 
 def ann_rescored_topk(
