@@ -66,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         "--phrase", action="store_true",
         help="treat each query_text as an exact PHRASE: conjunctive "
              "candidates verified for token adjacency against the "
-             "stored document text (--index roots only)",
+             "stored document text (single-index and --gens roots)",
     )
     args = p.parse_args(argv)
 
@@ -83,8 +83,6 @@ def main(argv: list[str] | None = None) -> int:
 
     if bool(args.index) == bool(args.gens):
         p.error("exactly one of --index / --gens is required")
-    if args.phrase and not args.index:
-        p.error("--phrase needs an --index root (verification reads its docs/)")
     filters = [g.split(",") if "," in g else g for g in args.filter]
     not_terms = args.not_term or None
 
@@ -93,51 +91,37 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         from theoremsearch_spark.streaming.incremental import (
-            _docs_path,
-            _generations,
+            phrase_topk_all_generations,
+            pruned_generation_docs,
             topk_all_generations,
         )
 
         from theoremsearch_spark.query import _localize_hits
 
-        ranked = _localize_hits(
-            spark,
-            topk_all_generations(
-                spark, args.gens, qs, k=args.k, filters=filters or None,
-                max_batch=args.max_batch, mode=args.mode, not_terms=not_terms,
-            ),
-        )
+        if args.phrase:
+            ranked = _localize_hits(
+                spark,
+                phrase_topk_all_generations(
+                    spark, args.gens, qs, k=args.k, filters=filters or None
+                ),
+            )
+        else:
+            ranked = _localize_hits(
+                spark,
+                topk_all_generations(
+                    spark, args.gens, qs, k=args.k, filters=filters or None,
+                    max_batch=args.max_batch, mode=args.mode, not_terms=not_terms,
+                ),
+            )
         # same output schema as the --index branches: ranked ids joined
         # back to document metadata (whatever columns the root's docs
-        # tables carry). Per-generation docs dirs with an _id_ranges
-        # manifest contribute only the FILES containing hit ids
-        # (point-lookup pruning); dirs without one (docs_offset) fall
-        # back whole, and the hit-range filter still prunes their row
-        # groups (docs are doc_id-ascending in every generation).
-        from theoremsearch_spark.query import _prune_doc_files
-
+        # tables carry), reading only the parquet files whose recorded
+        # id span holds a hit (per-generation point-lookup pruning)
         ids = sorted(
             int(r["doc_id"])
             for r in ranked.select("doc_id").distinct().collect()
         )
-        paths: list[str] = []
-        for g in _generations(spark, args.gens):
-            if g.get("delete_only"):
-                continue
-            dpath = _docs_path(args.gens, g["gen"])
-            sel = _prune_doc_files(dpath, ids)
-            paths.extend([dpath] if sel is None else sel)
-        docs = spark.read.parquet(*paths) if paths else None
-        if docs is None:
-            docs = spark.read.parquet(
-                *[
-                    _docs_path(args.gens, g["gen"])
-                    for g in _generations(spark, args.gens)
-                    if not g.get("delete_only")
-                ]
-            ).filter(F.lit(False))
-        elif ids:
-            docs = docs.filter(F.col("doc_id").between(ids[0], ids[-1]))
+        docs = pruned_generation_docs(spark, args.gens, ids)
         meta_cols = [c for c in ("url", "lang", "warc_ts") if c in docs.columns]
         hits = ranked.join(
             docs.select("doc_id", *meta_cols), "doc_id", "left"

@@ -139,6 +139,48 @@ def test_multi_generation_and_not_modes(spark, stream_index):
             )
 
 
+def test_multi_generation_phrase_topk(spark, stream_index):
+    """Exact-phrase serving on a streamed root: conjunctive candidates
+    under merged stats, text verified from per-generation docs tables.
+    Phrases lifted from docs in EACH generation must surface their
+    source doc; results match the ordered-adjacency brute force."""
+    from theoremsearch_spark.streaming.incremental import (
+        _generations,
+        phrase_topk_all_generations,
+    )
+    from theoremsearch_spark.extract import tokenize
+
+    out = stream_index["out"]
+    full = stream_index["full"]
+    gens = pd.DataFrame(_generations(spark, out)).sort_values("gen")
+    docs_parts = []
+    for g in gens.itertuples():
+        p = f"{out}/gen_{g.gen}/docs" if g.base == 0 else f"{out}/gen_{g.gen}/docs_offset"
+        docs_parts.append(spark.read.parquet(p).select("doc_id", "url").toPandas())
+    all_docs = pd.concat(docs_parts).sort_values("doc_id").reset_index(drop=True)
+    truth = all_docs.merge(full[["url", "text"]], on="url", validate="one_to_one")
+    oracle = BM25Oracle(truth)
+
+    # one phrase from a doc in each generation (doc 10 ∈ gen0's 0..699,
+    # doc 900 ∈ gen1's 700..)
+    rows = []
+    for qid, d in enumerate((10, 900)):
+        toks = list(oracle.tokens[d])
+        rows.append((qid, " ".join(toks[2:5]), d))
+    qs = pd.DataFrame(rows, columns=["query_id", "query_text", "src"])
+    hits = phrase_topk_all_generations(
+        spark, out, qs[["query_id", "query_text"]], k=10
+    ).toPandas()
+    for qid, row in qs.set_index("query_id").iterrows():
+        want = oracle.topk_mode(row["query_text"], k=10, mode="and", phrase=True)
+        got = hits[hits["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), qid
+        assert row["src"] in set(got["doc_id"].tolist()), qid
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
+        )
+
+
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
     # batch-vs-stream parity: run the same aggregation on a file stream
     # and on the static frame

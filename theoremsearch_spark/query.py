@@ -862,12 +862,27 @@ def phrase_topk(
         spark,
         topk(spark, index_dir, queries, k=0, mode="and", filters=filters),
     )
+    docs = _pruned_doc_meta(spark, docs_dir, cand, [text_col])
+    return _verify_phrase(spark, cand, docs, queries, k, text_col)
+
+
+def _verify_phrase(
+    spark: SparkSession,
+    cand: DataFrame,
+    docs: DataFrame,
+    queries: pd.DataFrame,
+    k: int,
+    text_col: str,
+) -> DataFrame:
+    """Adjacency-verify conjunctive candidates against their text and
+    re-rank: normalize with the tokenizer's own rule, `contains` the
+    per-query ' t1 t2 … ' needle (codegen string ops), keep top-k by
+    (score DESC, doc_id ASC)."""
     needles = [
         (int(qid), " " + " ".join(tokenize(str(txt))) + " ")
         for qid, txt in zip(queries["query_id"], queries["query_text"])
     ]
     ndf = spark.createDataFrame(needles, "query_id int, needle string")
-    docs = _pruned_doc_meta(spark, docs_dir, cand, [text_col])
     norm = F.concat(
         F.lit(" "),
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),

@@ -965,6 +965,61 @@ def topk_all_generations(
     )
 
 
+def pruned_generation_docs(
+    spark: SparkSession, out_dir: str, ids: list[int], cols: list[str] | None = None,
+) -> DataFrame:
+    """Docs rows for `ids` across every committed generation, reading
+    only the parquet FILES whose recorded doc_id span can contain a hit
+    (per-generation `_id_ranges.json` point-lookup pruning); dirs
+    without a manifest (docs_offset legacy) fall back whole and the
+    hit-range filter still prunes their row groups. `cols=None` keeps
+    every column the generation docs tables carry."""
+    from theoremsearch_spark.query import _prune_doc_files
+
+    ids = sorted(set(int(i) for i in ids))
+    paths: list[str] = []
+    all_paths: list[str] = []
+    for g in _generations(spark, out_dir):
+        if g.get("delete_only"):
+            continue
+        dpath = _docs_path(out_dir, g["gen"])
+        all_paths.append(dpath)
+        sel = _prune_doc_files(dpath, ids)
+        paths.extend([dpath] if sel is None else sel)
+    if not paths:
+        docs = spark.read.parquet(*all_paths).filter(F.lit(False))
+    else:
+        docs = spark.read.parquet(*paths)
+        if ids:
+            docs = docs.filter(F.col("doc_id").between(ids[0], ids[-1]))
+    if cols is not None:
+        docs = docs.select("doc_id", *[c for c in cols if c in docs.columns])
+    return docs
+
+
+def phrase_topk_all_generations(
+    spark: SparkSession, out_dir: str, queries, k: int = 10,
+    filters=None, text_col: str = "extracted_text",
+) -> DataFrame:
+    """Exact-phrase top-k on a streamed/upserted multi-generation root:
+    conjunctive candidates come from `topk_all_generations(mode="and",
+    k=0)` — merged global stats, tombstoned versions excluded — and
+    adjacency verification reads candidate text from the per-generation
+    docs tables via file-pruned point lookups (`pruned_generation_docs`).
+    Same contract as query.phrase_topk on a single index."""
+    from theoremsearch_spark.query import _localize_hits, _verify_phrase
+
+    cand = _localize_hits(
+        spark,
+        topk_all_generations(
+            spark, out_dir, queries, k=0, mode="and", filters=filters
+        ),
+    )
+    ids = [int(r["doc_id"]) for r in cand.select("doc_id").distinct().collect()]
+    docs = pruned_generation_docs(spark, out_dir, ids, cols=[text_col])
+    return _verify_phrase(spark, cand, docs, queries, k, text_col)
+
+
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     """Watermarked 1-minute tumbling windows per event_type: count +
     sum(value). Late rows beyond 10 minutes are dropped (bounded state)."""
