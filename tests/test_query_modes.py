@@ -186,3 +186,39 @@ def test_phrase_normalization_matches_tokenizer(spark, tmp_path):
     urls = spark.read.parquet(f"{d}/docs").select("doc_id", "url").toPandas()
     got_urls = set(got.merge(urls, on="doc_id")["url"])
     assert got_urls == {"u0", "u1", "u4"}
+
+
+def test_phrase_verify_plan_is_jvm_side(spark, index_dir):
+    """The verification stage (normalize → contains → snippet window)
+    must be pure codegen string ops: candidates enter as a local
+    relation, so NO Python eval node may appear in the executed plan."""
+    qs = pd.DataFrame([(0, "the a")], columns=["query_id", "query_text"])
+    df = phrase_topk(
+        spark, f"{index_dir}/index", f"{index_dir}/docs", qs, k=5, snippet_pad=20
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "Contains" in plan or "contains" in plan, plan
+
+
+def test_phrase_snippet_window(spark, index_dir, oracle):
+    """Snippet = normalized-text window around the FIRST occurrence,
+    exactly ±pad chars (clamped at the string start)."""
+    d = 42
+    toks = list(oracle.tokens[d])
+    phrase = " ".join(toks[4:6])
+    qs = pd.DataFrame([(0, phrase)], columns=["query_id", "query_text"])
+    pad = 15
+    hits = phrase_topk(
+        spark, f"{index_dir}/index", f"{index_dir}/docs", qs, k=2000,
+        snippet_pad=pad,
+    ).toPandas()
+    row = hits[hits["doc_id"] == d]
+    assert len(row) == 1
+    snippet = row["snippet"].iloc[0]
+    needle = f" {phrase} "
+    assert needle in snippet
+    norm = " " + " ".join(toks) + " "
+    pos = norm.index(needle)  # 0-based; SQL locate is pos+1
+    start = max(0, pos - pad)
+    assert snippet == norm[start : start + 2 * pad + len(needle)]

@@ -726,6 +726,56 @@ def q_phrase_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+SNIPPET_PAD = 30  # chars of normalized context either side of the phrase
+
+
+def q_phrase_topk_snippets(spark, sf_dir):
+    """Phrase serving in the DISPLAY shape: each hit carries a
+    normalized-text window of ±SNIPPET_PAD chars around the first
+    phrase occurrence (locate + substring — codegen string ops, no
+    Python). The oracle recomputes the identical window with
+    instr/substr over the same ' '||text||' ' normalization, so the
+    snippet STRINGS hash-match, not just the ranks."""
+    from theoremsearch_spark.query import phrase_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(PHRASE_QUERIES, columns=["query_id", "query_text"])
+    hits = phrase_topk(
+        spark, idx, os.path.join(sf_dir, "documents.parquet"), qs, k=K,
+        text_col="text", snippet_pad=SNIPPET_PAD,
+    )
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score"),
+        "snippet",
+    ).orderBy("query_id", "rank")
+
+
+def _phrase_snippets_oracle_sql() -> str:
+    needles = ", ".join(f"({qid}, ' {text} ')" for qid, text in PHRASE_QUERIES)
+    qn = ", ".join(
+        f"({qid}, {len(set(text.split()))})" for qid, text in PHRASE_QUERIES
+    )
+    return f"""
+        WITH {_bm25_scored_cte(queries=PHRASE_QUERIES, with_nt=True)},
+        p(query_id, needle) AS (VALUES {needles}),
+        qn(query_id, n) AS (VALUES {qn}),
+        conj AS (
+            SELECT s.query_id, s.doc_id, s.s,
+                   substr(' ' || d.text || ' ',
+                          greatest(1, instr(' ' || d.text || ' ', p.needle) - {SNIPPET_PAD}),
+                          {2 * SNIPPET_PAD} + length(p.needle)) AS snippet
+            FROM scored s JOIN qn USING (query_id) JOIN p USING (query_id)
+                 JOIN documents d USING (doc_id)
+            WHERE s.nt = qn.n AND contains(' ' || d.text || ' ', p.needle)),
+        ranked AS (
+            SELECT query_id, doc_id, s, snippet,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+            FROM conj)
+        SELECT query_id, rank, doc_id, round(s, 4) AS score, snippet
+        FROM ranked WHERE rank <= {K} ORDER BY query_id, rank
+    """
+
+
 def _bm25_and_oracle_sql(queries=HARNESS_QUERIES, extra_where: str = "") -> str:
     qn = ", ".join(
         f"({qid}, {len(set(text.split()))})" for qid, text in queries
@@ -787,6 +837,7 @@ QUERIES = {
     "bm25_and_topk": q_bm25_and_topk,
     "bm25_not_topk": q_bm25_not_topk,
     "phrase_topk": q_phrase_topk,
+    "phrase_topk_snippets": q_phrase_topk_snippets,
     "bm25_topk_display": q_bm25_topk_display,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_rescored": q_bm25_topk_rescored,
@@ -804,6 +855,8 @@ ORACLES = {
     "bm25_not_topk": _bm25_not_oracle_sql(),
     # phrase serving == conjunctive + token-adjacency containment
     "phrase_topk": _phrase_oracle_sql(),
+    # display shape: the snippet STRINGS must hash-match too
+    "phrase_topk_snippets": _phrase_snippets_oracle_sql(),
     "bm25_topk_display": _bm25_display_oracle_sql(),
     "bm25_topk_filtered": _bm25_filtered_oracle_sql(),
     "bm25_topk_rescored": _bm25_rescored_oracle_sql(),

@@ -831,6 +831,7 @@ def phrase_topk(
     *,
     filters=None,
     text_col: str = "extracted_text",
+    snippet_pad: int | None = None,
 ) -> DataFrame:
     """Exact-phrase top-k: each query_text is a PHRASE — its tokens must
     appear consecutively, in order, in the document. Two stages, both on
@@ -863,7 +864,9 @@ def phrase_topk(
         topk(spark, index_dir, queries, k=0, mode="and", filters=filters),
     )
     docs = _pruned_doc_meta(spark, docs_dir, cand, [text_col])
-    return _verify_phrase(spark, cand, docs, queries, k, text_col)
+    return _verify_phrase(
+        spark, cand, docs, queries, k, text_col, snippet_pad=snippet_pad
+    )
 
 
 def _verify_phrase(
@@ -873,32 +876,51 @@ def _verify_phrase(
     queries: pd.DataFrame,
     k: int,
     text_col: str,
+    snippet_pad: int | None = None,
 ) -> DataFrame:
     """Adjacency-verify conjunctive candidates against their text and
     re-rank: normalize with the tokenizer's own rule, `contains` the
     per-query ' t1 t2 … ' needle (codegen string ops), keep top-k by
-    (score DESC, doc_id ASC)."""
+    (score DESC, doc_id ASC). `snippet_pad` adds a `snippet` column:
+    the normalized text window of ±pad chars around the FIRST phrase
+    occurrence (locate + substring — still pure codegen)."""
     needles = [
         (int(qid), " " + " ".join(tokenize(str(txt))) + " ")
         for qid, txt in zip(queries["query_id"], queries["query_text"])
     ]
     ndf = spark.createDataFrame(needles, "query_id int, needle string")
-    norm = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
-        F.lit(" "),
-    )
+    norm = F.expr(_norm_sql(text_col))
     verified = (
         cand.select("query_id", "doc_id", "score")
         .join(docs, "doc_id")
         .join(F.broadcast(ndf), "query_id")
         .filter(F.contains(norm, F.col("needle")))
     )
+    out_cols = ["query_id", "rank", "doc_id", "score"]
+    if snippet_pad is not None:
+        verified = verified.withColumn(
+            "snippet",
+            F.expr(
+                f"substring({_norm_sql(text_col)}, "
+                f"greatest(1, locate(needle, {_norm_sql(text_col)}) - {int(snippet_pad)}), "
+                f"{2 * int(snippet_pad)} + length(needle))"
+            ),
+        )
+        out_cols.append("snippet")
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         verified.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
+        .select(*out_cols)
+    )
+
+
+def _norm_sql(text_col: str) -> str:
+    """The tokenizer-rule normalization (' ' || collapsed [a-z0-9]
+    tokens || ' ') as a SQL expression string — the single source of
+    truth for both the contains-verification and the snippet window."""
+    return (
+        f"concat(' ', regexp_replace(lower({text_col}), '[^a-z0-9]+', ' '), ' ')"
     )
 
 

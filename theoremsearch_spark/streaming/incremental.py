@@ -1000,6 +1000,7 @@ def pruned_generation_docs(
 def phrase_topk_all_generations(
     spark: SparkSession, out_dir: str, queries, k: int = 10,
     filters=None, text_col: str = "extracted_text",
+    snippet_pad: int | None = None,
 ) -> DataFrame:
     """Exact-phrase top-k on a streamed/upserted multi-generation root:
     conjunctive candidates come from `topk_all_generations(mode="and",
@@ -1017,7 +1018,9 @@ def phrase_topk_all_generations(
     )
     ids = [int(r["doc_id"]) for r in cand.select("doc_id").distinct().collect()]
     docs = pruned_generation_docs(spark, out_dir, ids, cols=[text_col])
-    return _verify_phrase(spark, cand, docs, queries, k, text_col)
+    return _verify_phrase(
+        spark, cand, docs, queries, k, text_col, snippet_pad=snippet_pad
+    )
 
 
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
