@@ -133,6 +133,25 @@ def main() -> int:
             extras["query_p50_sec"] = round(float(np.percentile(per_q, 50)), 4)
             extras["query_p95_sec"] = round(float(np.percentile(per_q, 95)), 4)
 
+        # --- engine: CONJUNCTIVE + PHRASE serving ----------------------
+        # AND mode is rarest-first intersection with restrict-pushdown
+        # decode (cheaper per query than OR — no threshold bookkeeping);
+        # phrase adds file-pruned doc-text point lookups + codegen
+        # adjacency verification on top of the AND pool.
+        def serve_and():
+            return topk(spark, f"{work}/index", qs, k=10, mode="and").count()
+
+        extras["topk_and_rows"] = timed("engine_topk_and", serve_and, reps=3)
+
+        from theoremsearch_spark.query import phrase_topk
+
+        def serve_phrase():
+            return phrase_topk(
+                spark, f"{work}/index", f"{work}/docs", qs, k=10
+            ).count()
+
+        extras["phrase_rows"] = timed("engine_phrase", serve_phrase, reps=2)
+
         # --- engine: FILTERED serving (R3 — predicate inside the ranked
         # query, intersected as a salted posting list; lang=en ≈ 90% of
         # docs, the worst-case heavy filter) ---------------------------
