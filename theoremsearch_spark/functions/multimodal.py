@@ -7,18 +7,22 @@ the common web cases — no PIL/cv2/libav in this container:
   - PNG: IHDR metadata for every variant + FULL pixel decode/encode
     for 8-bit non-interlaced gray/RGB/RGBA (zlib + per-lane scanline
     unfilter) — the overwhelming share of real web PNGs;
-  - JPEG: dimensions from the SOFn frame header;
+  - JPEG: FULL baseline decode/encode (`jpegcodec.py` — gray/YCbCr,
+    any legal sampling, restart markers); progressive is dims-only;
   - WEBP: dimensions from the VP8/VP8L/VP8X chunk headers;
   - GIF: FULL frame decode (variable-width LZW + palette + canvas
-    compositing + transparency + de-interlace) — animated GIFs are the
+    compositing + transparency + de-interlace) — animated GIFs are a
     real video-frame-sampling path (frame_sample re-emits PNGs);
+  - AVI/MJPEG: container demux (hdrl/strh struct walk + movi chunk
+    scan) — frame_sample re-emits the per-frame JPEGs VERBATIM (zero
+    transcode) and jpegcodec decodes them to pixels;
   - BMP: 24-bit uncompressed pixel decode/encode (real resize);
   - WAV: full PCM16 decode (fmt-chunk walk + frombuffer) with real
     audio features (duration, RMS, zero-crossing rate).
-What still needs an external codec (JPEG/WEBP pixels, 16-bit/palette
-PNG, compressed audio, containered video mp4/webm) is metadata-only in
-the feature path and raises in the resize path; swapping in PIL/libav
-is a one-function change in `decode_image`.
+What still needs an external codec (WEBP/progressive-JPEG pixels,
+16-bit/palette PNG, compressed audio, codec-bound video mp4/webm) is
+metadata-only in the feature path and raises in the resize path;
+swapping in PIL/libav is a one-function change in `decode_image`.
 
 Design points for 100 TB of media:
   - binary payloads never leave the JVM until the mapInPandas boundary,
@@ -349,6 +353,11 @@ def decode_image(
         dims = parse_webp_dims(raw)
         if dims:
             return "webp", dims[0], dims[1], None, 0
+        avi = parse_avi_header(raw)
+        if avi:
+            # container dims; FRAME pixels come from frame_sample →
+            # per-frame JPEG decode, not from decode_image
+            return "avi", avi["width"], avi["height"], None, 0
         return fmt, None, None, None, 0
     if fmt == "gif":
         dims = parse_gif_dims(raw)
@@ -620,6 +629,88 @@ def parse_webp_dims(raw: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _riff_type(raw: bytes) -> bytes | None:
+    """The RIFF form type ('WEBP', 'AVI ', 'WAVE', …) or None."""
+    if len(raw) < 12 or raw[:4] != b"RIFF":
+        return None
+    return raw[8:12]
+
+
+def parse_avi_header(raw: bytes) -> dict | None:
+    """Struct-only AVI container metadata: (width, height, n_frames,
+    fps, codec) from the hdrl LIST's avih main header and the first
+    'vids' stream's strh — the video analog of parse_wav_header. Any
+    malformed structure → None, never a raise."""
+    if _riff_type(raw) != b"AVI ":
+        return None
+    try:
+        out: dict = {}
+
+        def walk(pos: int, end: int) -> None:
+            while pos + 8 <= end:
+                tag = raw[pos : pos + 4]
+                ln = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+                body_start = pos + 8
+                body_end = min(body_start + ln, end)
+                if tag == b"LIST" and body_end - body_start >= 4:
+                    ltype = raw[body_start : body_start + 4]
+                    if ltype in (b"hdrl", b"strl"):
+                        walk(body_start + 4, body_end)
+                elif tag == b"avih" and ln >= 40:
+                    b = raw[body_start : body_start + 40]
+                    out["usec_per_frame"] = struct.unpack("<I", b[0:4])[0]
+                    out["n_frames"] = struct.unpack("<I", b[16:20])[0]
+                    out["width"] = struct.unpack("<I", b[32:36])[0]
+                    out["height"] = struct.unpack("<I", b[36:40])[0]
+                elif tag == b"strh" and ln >= 32 and "codec" not in out:
+                    b = raw[body_start : body_start + 32]
+                    if b[0:4] == b"vids":
+                        out["codec"] = b[4:8].decode("ascii", "replace").strip()
+                        scale = struct.unpack("<I", b[20:24])[0]
+                        rate = struct.unpack("<I", b[24:28])[0]
+                        if scale:
+                            out["fps"] = rate / scale
+                pos = body_start + ln + (ln & 1)  # chunks are 2-byte aligned
+
+        walk(12, len(raw))
+        if "width" not in out or "codec" not in out:
+            return None
+        return out
+    except Exception:
+        return None
+
+
+def demux_avi_mjpeg_frames(raw: bytes, max_frames: int | None = None):
+    """Yield the stream-0 video chunks ('00dc'/'00db') of the movi LIST
+    — for an MJPEG AVI each chunk IS a standalone baseline JPEG, so
+    frame sampling re-emits these bytes verbatim (zero transcode) and
+    `jpegcodec.decode_jpeg_pixels` decodes them when pixels are needed.
+    DHT-less MJPEG variants (frames relying on decoder-supplied fixed
+    Huffman tables) demux fine but decode to None — documented contract,
+    same class as progressive JPEG. Malformed containers yield nothing."""
+    if _riff_type(raw) != b"AVI ":
+        return
+    n = 0
+    stack = [(12, len(raw))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            tag = raw[pos : pos + 4]
+            ln = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            body_end = min(body_start + ln, end)
+            if tag == b"LIST" and body_end - body_start >= 4:
+                ltype = raw[body_start : body_start + 4]
+                if ltype in (b"movi", b"rec "):
+                    stack.append((body_start + 4, body_end))
+            elif tag in (b"00dc", b"00db") and ln > 0:
+                yield raw[body_start:body_end]
+                n += 1
+                if max_frames is not None and n >= max_frames:
+                    return
+            pos = body_start + ln + (ln & 1)
+
+
 def _feature8(px: np.ndarray) -> np.ndarray:
     """8-bin intensity histogram, L1-normalized — the stand-in for an
     embedding model's output (shape/type contract is what matters)."""
@@ -713,12 +804,16 @@ def resize_stub(media: DataFrame, max_side: int) -> DataFrame:
 
 def frame_sample_stub(media: DataFrame, every_n: int = 4) -> DataFrame:
     """Video frame sampling: one binary blob in → many frame rows out
-    (1:N via mapInPandas). REAL for animated GIF — the one
-    web-video-ish format stdlib can decode — via the LZW path: every
-    `every_n`-th composited frame is re-emitted as a standalone PNG.
-    Synthetic "video" (concatenated SYN0 images of equal size) keeps
-    the original contract for containered formats (mp4/webm), whose
-    demux needs libav. Other/corrupt payloads yield no rows."""
+    (1:N via mapInPandas). REAL for the two web-video-ish formats
+    stdlib can handle: animated GIF (LZW decode, every `every_n`-th
+    composited frame re-emitted as a standalone PNG) and MJPEG AVI
+    (container demux — each sampled '00dc' chunk is ALREADY a
+    standalone baseline JPEG, re-emitted verbatim with zero
+    transcode; `jpegcodec` decodes it downstream when pixels are
+    needed). Synthetic "video" (concatenated SYN0 images of equal
+    size) keeps the original contract for codec-bound containers
+    (mp4/webm), whose demux needs libav. Other/corrupt payloads yield
+    no rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -737,6 +832,10 @@ def frame_sample_stub(media: DataFrame, every_n: int = 4) -> DataFrame:
                     for i, frame in enumerate(decode_gif_frames(raw)):
                         if i % every_n == 0:
                             rows.append((int(mid), i, encode_png(frame)))
+                elif _riff_type(raw) == b"AVI ":
+                    for i, jpg in enumerate(demux_avi_mjpeg_frames(raw)):
+                        if i % every_n == 0:
+                            rows.append((int(mid), i, jpg))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return media.mapInPandas(
