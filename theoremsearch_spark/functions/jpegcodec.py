@@ -4,12 +4,14 @@ Closes the "non-PNG pixel decode" gap for JPEG: this container ships no
 PIL/cv2, so both directions are implemented from the public spec the
 way the PNG codec in `multimodal.py` is:
 
-  decode  baseline/extended-sequential DCT (SOF0/SOF1), 8-bit,
-          grayscale or YCbCr at any legal sampling (4:4:4, 4:2:0,
-          4:2:2, ...), byte-stuffing, restart markers, multiple
-          DQT/DHT segments. Progressive (SOF2) and arithmetic coding
-          are rejected with None — decode NEVER raises on corrupt
-          bytes (same contract as `decode_png_pixels`).
+  decode  baseline/extended-sequential DCT (SOF0/SOF1) AND progressive
+          (SOF2: spectral selection, successive approximation, EOB
+          runs, per-scan table redefinition), 8-bit, grayscale or
+          YCbCr at any legal sampling (4:4:4, 4:2:0, 4:2:2, ...),
+          byte-stuffing, restart markers, multiple DQT/DHT segments.
+          Arithmetic coding and lossless/hierarchical modes are
+          rejected with None — decode NEVER raises on corrupt bytes
+          (same contract as `decode_png_pixels`).
   encode  baseline interleaved single scan, grayscale or RGB→YCbCr,
           4:4:4 or 4:2:0, Annex-K quantization tables scaled by the
           libjpeg quality curve, optional restart markers. Huffman
@@ -371,12 +373,65 @@ def _build_huff(bits: bytes, vals: bytes) -> dict:
 
 
 def decode_jpeg_pixels(raw: bytes) -> tuple[np.ndarray, int] | None:
-    """Baseline JPEG → (uint8 array (h, w, c), c) with c ∈ {1, 3};
-    None for progressive/arithmetic/corrupt streams — never raises."""
+    """Baseline or PROGRESSIVE JPEG → (uint8 array (h, w, c), c) with
+    c ∈ {1, 3}; None for arithmetic-coded/lossless/corrupt streams —
+    never raises."""
     try:
         return _decode(raw)
     except Exception:
         return None
+
+
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    """DQT segment (possibly several tables) → qt[id] = 64 ints in
+    zigzag order."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 15
+        n = 128 if pq else 64
+        t = body[i + 1 : i + 1 + n]
+        qt[tq] = (
+            np.frombuffer(t, dtype=">u2").astype(np.int64)
+            if pq
+            else np.frombuffer(t, dtype=np.uint8).astype(np.int64)
+        )
+        i += 1 + n
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    """DHT segment (possibly several tables) → huff[(class, id)] =
+    canonical {(len, code): symbol} map."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 15
+        bits = body[i + 1 : i + 17]
+        nv = sum(bits)
+        huff[(tc, th)] = _build_huff(bits, body[i + 17 : i + 17 + nv])
+        i += 17 + nv
+
+
+def _planes_to_pixels(
+    comps, planes, ih: int, iw: int, hmax: int, vmax: int
+) -> tuple[np.ndarray, int] | None:
+    """Upsample subsampled planes, crop padding, color-convert — the
+    shared tail of the baseline and progressive decoders."""
+    up = []
+    for (cid, hs, vs, _tq), p in zip(comps, planes):
+        if hs != hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs != vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        up.append(p[:ih, :iw])
+    if len(up) == 1:
+        px = np.clip(np.round(up[0]), 0, 255).astype(np.uint8)
+        return px[:, :, None], 1
+    if len(up) != 3:
+        return None  # CMYK etc. — out of scope
+    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), 3
 
 
 def _decode(raw: bytes) -> tuple[np.ndarray, int] | None:
@@ -403,25 +458,9 @@ def _decode(raw: bytes) -> tuple[np.ndarray, int] | None:
         seglen = struct.unpack(">H", raw[pos + 2 : pos + 4])[0]
         body = raw[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT — possibly several tables per segment
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                n = 128 if pq else 64
-                t = body[i + 1 : i + 1 + n]
-                qt[tq] = (
-                    np.frombuffer(t, dtype=">u2").astype(np.int64)
-                    if pq
-                    else np.frombuffer(t, dtype=np.uint8).astype(np.int64)
-                )
-                i += 1 + n
+            _parse_dqt(body, qt)
         elif marker == 0xC4:  # DHT — possibly several tables
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                bits = body[i + 1 : i + 17]
-                nv = sum(bits)
-                huff[(tc, th)] = _build_huff(bits, body[i + 17 : i + 17 + nv])
-                i += 17 + nv
+            _parse_dht(body, huff)
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             prec, ih, iw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
@@ -431,8 +470,10 @@ def _decode(raw: bytes) -> tuple[np.ndarray, int] | None:
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive/lossless/arithmetic: unsupported
+        elif marker == 0xC2:  # progressive DCT — its own scan machinery
+            return _decode_progressive(raw)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless/arithmetic/hierarchical: unsupported
         elif marker == 0xDD:
             dri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -516,20 +557,267 @@ def _decode(raw: bytes) -> tuple[np.ndarray, int] | None:
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             since_rst += 1
 
-    up = []
-    for (cid, hs, vs, _tq), p in zip(comps, planes):
-        if hs != hmax:
-            p = np.repeat(p, hmax // hs, axis=1)
-        if vs != vmax:
-            p = np.repeat(p, vmax // vs, axis=0)
-        up.append(p[:ih, :iw])
-    if len(up) == 1:
-        px = np.clip(np.round(up[0]), 0, 255).astype(np.uint8)
-        return px[:, :, None], 1
-    if len(up) != 3:
-        return None  # CMYK etc. — out of scope
-    y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), 3
+    return _planes_to_pixels(comps, planes, ih, iw, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoder (SOF2) — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive(raw: bytes) -> tuple[np.ndarray, int] | None:
+    """Progressive JPEG (T.81 G): coefficients accumulate across scans
+    (DC/AC × first/refinement, spectral bands, successive
+    approximation, EOB runs, restart markers); one vectorized IDCT at
+    the end. Tables may be redefined between scans, so scans decode
+    inline during the segment walk."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dri = 0
+    sof = None
+    coefs: list[np.ndarray] | None = None
+    grid = None  # (hmax, vmax, mcux, mcuy, per-comp (hs, vs, bw, bh))
+    pos = 2
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if pos + 4 > len(raw):
+            return None
+        seglen = struct.unpack(">H", raw[pos + 2 : pos + 4])[0]
+        body = raw[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xC2:
+            prec, ih, iw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ih == 0 or iw == 0 or nc == 0:
+                return None
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (ih, iw, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-iw // (8 * hmax))
+            mcuy = -(-ih // (8 * vmax))
+            shapes = []
+            coefs = []
+            for _cid, hs, vs, _tq in comps:
+                bw = -(-(-(-iw * hs // hmax)) // 8)  # ceil(ceil(iw*hs/hmax)/8)
+                bh = -(-(-(-ih * vs // vmax)) // 8)
+                shapes.append((hs, vs, bw, bh))
+                coefs.append(np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32))
+            grid = (hmax, vmax, mcux, mcuy, shapes)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # a second, non-progressive frame: malformed
+        elif marker == 0xDD:
+            dri = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if sof is None or coefs is None:
+                return None
+            ns = body[0]
+            scomps = []
+            for si in range(ns):
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(
+                    (i for i, c in enumerate(sof[2]) if c[0] == cid), None
+                )
+                if idx is None:
+                    return None
+                scomps.append((idx, tabs >> 4, tabs & 15))
+            ss, se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = aa >> 4, aa & 15
+            pos = _decode_prog_scan(
+                raw, pos + 2 + seglen, scomps, ss, se, ah, al,
+                huff, dri, coefs, sof, grid,
+            )
+            continue
+        pos += 2 + seglen
+    if sof is None or coefs is None or grid is None:
+        return None
+    ih, iw, comps = sof
+    hmax, vmax, mcux, mcuy, _shapes = grid
+    planes = []
+    for (cid, hs, vs, tq), cz in zip(comps, coefs):
+        q = qt.get(tq)
+        if q is None:
+            return None
+        nat = np.empty(cz.shape, dtype=np.float64)
+        nat[..., ZIGZAG] = cz * q  # dequant, zigzag → natural order
+        blocks = nat.reshape(cz.shape[0], cz.shape[1], 8, 8)
+        p = np.einsum("ij,byjk,kl->byil", _DCT_A.T, blocks, _DCT_A) + 128.0
+        planes.append(
+            p.transpose(0, 2, 1, 3).reshape(cz.shape[0] * 8, cz.shape[1] * 8)
+        )
+    return _planes_to_pixels(comps, planes, ih, iw, hmax, vmax)
+
+
+def _skip_to_marker(raw: bytes, pos: int) -> int:
+    """First byte offset ≥ pos of a REAL marker (not stuffing, not
+    RST) — where the next segment after a scan's entropy data starts."""
+    n = len(raw)
+    while pos + 1 < n:
+        if raw[pos] == 0xFF and raw[pos + 1] != 0x00 and not (
+            0xD0 <= raw[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_prog_scan(
+    raw, start, scomps, ss, se, ah, al, huff, dri, coefs, sof, grid
+) -> int:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    arrays; returns the byte offset of the next marker segment."""
+    ih, iw, comps = sof
+    hmax, vmax, mcux, mcuy, shapes = grid
+    br = _BitReader(raw, start)
+    if ss == 0:
+        dct = {}
+        for idx, td, _ta in scomps:
+            t = huff.get((0, td))
+            if t is None and ah == 0:
+                raise ValueError("missing DC table")
+            dct[idx] = t
+        preds = {idx: 0 for idx, _td, _ta in scomps}
+        if len(scomps) > 1:  # interleaved DC scan, MCU order
+            since = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and since == dri:
+                        br.sync_restart()
+                        preds = dict.fromkeys(preds, 0)
+                        since = 0
+                    for idx, _td, _ta in scomps:
+                        hs, vs, _bw, _bh = shapes[idx]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                coef = coefs[idx][my * vs + by, mx * hs + bx]
+                                if ah == 0:
+                                    size = br.huff(dct[idx])
+                                    preds[idx] += _receive_extend(br, size)
+                                    coef[0] = preds[idx] << al
+                                elif br.bits(1):
+                                    coef[0] |= 1 << al
+                    since += 1
+        else:  # single-component DC scan: its own block raster
+            idx = scomps[0][0]
+            _hs, _vs, bw, bh = shapes[idx]
+            since = 0
+            for bi in range(bw * bh):
+                if dri and since == dri:
+                    br.sync_restart()
+                    preds[idx] = 0
+                    since = 0
+                coef = coefs[idx][bi // bw, bi % bw]
+                if ah == 0:
+                    size = br.huff(dct[idx])
+                    preds[idx] += _receive_extend(br, size)
+                    coef[0] = preds[idx] << al
+                elif br.bits(1):
+                    coef[0] |= 1 << al
+                since += 1
+    else:
+        if len(scomps) != 1:
+            raise ValueError("interleaved AC scan is illegal in progressive")
+        idx, _td, ta = scomps[0]
+        act = huff.get((1, ta))
+        if act is None:
+            raise ValueError("missing AC table")
+        _hs, _vs, bw, bh = shapes[idx]
+        eobrun = 0
+        since = 0
+        for bi in range(bw * bh):
+            if dri and since == dri:
+                br.sync_restart()
+                eobrun = 0
+                since = 0
+            coef = coefs[idx][bi // bw, bi % bw]
+            if ah == 0:
+                eobrun = _ac_first(br, act, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, act, coef, ss, se, al, eobrun)
+            since += 1
+    return _skip_to_marker(raw, br.pos)
+
+
+def _ac_first(br, act, coef, ss, se, al, eobrun) -> int:
+    """Initial AC scan for one block (T.81 G.1.2.2): zero-run coding of
+    the band with EOB-run sharing across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = br.huff(act)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC band overflow")
+            coef[k] = _receive_extend(br, s) << al
+            k += 1
+    return 0
+
+
+def _ac_refine(br, act, coef, ss, se, al, eobrun) -> int:
+    """AC refinement scan for one block (T.81 G.1.2.3): one correction
+    bit per already-nonzero coefficient; new ±1·2^al coefficients via
+    zero-HISTORY run coding; EOB-run blocks still take correction
+    bits."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = br.huff(act)
+            r, s = sym >> 4, sym & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                newval = 0  # ZRL: 16 zero-history positions, no placement
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                newval = p1 if br.bits(1) else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.bits(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0 and br.bits(1) and (coef[k] & p1) == 0:
+                coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun

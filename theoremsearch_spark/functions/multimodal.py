@@ -8,7 +8,8 @@ the common web cases — no PIL/cv2/libav in this container:
     for 8-bit non-interlaced gray/RGB/RGBA (zlib + per-lane scanline
     unfilter) — the overwhelming share of real web PNGs;
   - JPEG: FULL baseline decode/encode (`jpegcodec.py` — gray/YCbCr,
-    any legal sampling, restart markers); progressive is dims-only;
+    any legal sampling, restart markers) AND progressive (SOF2:
+    spectral selection + successive approximation);
   - WEBP: dimensions from the VP8/VP8L/VP8X chunk headers;
   - GIF: FULL frame decode (variable-width LZW + palette + canvas
     compositing + transparency + de-interlace) — animated GIFs are a
@@ -19,8 +20,8 @@ the common web cases — no PIL/cv2/libav in this container:
   - BMP: 24-bit uncompressed pixel decode/encode (real resize);
   - WAV: full PCM16 decode (fmt-chunk walk + frombuffer) with real
     audio features (duration, RMS, zero-crossing rate).
-What still needs an external codec (WEBP/progressive-JPEG pixels,
-16-bit/palette PNG, compressed audio, codec-bound video mp4/webm) is
+What still needs an external codec (WEBP pixels, 16-bit/palette
+PNG, compressed audio, codec-bound video mp4/webm) is
 metadata-only in the feature path and raises in the resize path;
 swapping in PIL/libav is a one-function change in `decode_image`.
 
@@ -320,11 +321,12 @@ def decode_image(
     raw: bytes,
 ) -> tuple[str | None, int | None, int | None, np.ndarray | None, int]:
     """(format, width, height, pixels|None, channels). Pixels come back
-    for the synthetic format, real 8-bit PNGs (gray/RGB/RGBA), baseline
-    JPEG (gray/YCbCr, any legal sampling — `jpegcodec.py`), GIF (first
-    frame) and 24-bit BMP; the remaining variants (16-bit/palette/
-    interlaced PNG, progressive JPEG, RIFF/WEBP) return metadata only —
-    their pixel decode is the remaining external-codec dependency.
+    for the synthetic format, real 8-bit PNGs (gray/RGB/RGBA), JPEG
+    (baseline AND progressive, gray/YCbCr, any legal sampling —
+    `jpegcodec.py`), GIF (first frame) and 24-bit BMP; the remaining
+    variants (16-bit/palette/interlaced PNG, RIFF/WEBP) return
+    metadata only — their pixel decode is the remaining
+    external-codec dependency.
     WEBP images inside a RIFF container report dimensions from the
     VP8/VP8L/VP8X headers."""
     fmt = sniff_format(raw)
@@ -687,7 +689,8 @@ def demux_avi_mjpeg_frames(raw: bytes, max_frames: int | None = None):
     `jpegcodec.decode_jpeg_pixels` decodes them when pixels are needed.
     DHT-less MJPEG variants (frames relying on decoder-supplied fixed
     Huffman tables) demux fine but decode to None — documented contract,
-    same class as progressive JPEG. Malformed containers yield nothing."""
+    same class as arithmetic-coded JPEG. Malformed containers yield
+    nothing."""
     if _riff_type(raw) != b"AVI ":
         return
     n = 0
@@ -750,11 +753,11 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 def resize_stub(media: DataFrame, max_side: int) -> DataFrame:
     """Resize: payload → payload (binary→binary mapInPandas). Real
     end-to-end for the synthetic format, 8-bit gray/RGB/RGBA PNG,
-    baseline JPEG (decoded and re-emitted as JPEG via `jpegcodec.py`),
+    JPEG — baseline or progressive in, baseline out (`jpegcodec.py`),
     24-bit BMP (re-emitted as BMP), and GIF (first frame decoded via
     the LZW path, re-emitted as PNG — a documented format conversion:
     there is no stdlib GIF re-encode for RGB frames). Variants we
-    cannot decode to pixels (progressive JPEG, palette/16-bit PNG,
+    cannot decode to pixels (palette/16-bit PNG,
     RIFF) raise NotImplementedError — a silent pass-through would be a
     resize that quietly did nothing. Unknown blobs pass through."""
 
