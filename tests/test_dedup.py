@@ -312,3 +312,49 @@ def test_dedup_cluster_labels_chain_and_components(spark):
     # survivors = canon rows: exactly {1}, {10}, {100} per component
     survivors = set(labels[labels["doc_id"] == labels["canon"]]["doc_id"])
     assert survivors == {1, 10, 100}
+
+
+def test_benchmark_contamination_boundary(spark):
+    """Exactly-n-gram overlap flags; (n-1)-gram overlap does not; the
+    match count is the number of DISTINCT shared shingles."""
+    from theoremsearch_spark.functions.dedup import benchmark_contamination
+
+    bench_text = "q w e r t y u i"  # 8 tokens = one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (0, "x x " + bench_text + " z z"),          # contains the 8-gram
+            (1, "x q w e r t y u x i"),                  # only 7 in a row
+            (2, "a b c d e f g h"),                      # unrelated
+            (3, bench_text + " " + bench_text),          # repeated -> still distinct shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, bench_text)], "bench_id long, text string")
+    got = {
+        r["doc_id"]: r["n_bench_shingles"]
+        for r in benchmark_contamination(docs, bench, n=8).collect()
+    }
+    assert 0 in got and 3 in got
+    assert 1 not in got and 2 not in got
+    assert got[0] == 1
+
+
+def test_host_section_stats_counts_dups(spark):
+    from pyspark.sql import functions as F
+
+    from theoremsearch_spark.functions.textops import host_section_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaa", 3, "h1"),
+            (1, "aaa", 3, "h1"),   # exact dup within h1
+            (2, "bbb", 3, "h1"),
+            (3, "aaa", 3, "h2"),   # same text, other section: not a dup there
+        ],
+        "doc_id long, text string, n_chars long, sec string",
+    )
+    got = {
+        r["section"]: (r["n_docs"], r["n_exact_dup_docs"])
+        for r in host_section_stats(docs, F.col("sec")).collect()
+    }
+    assert got == {"h1": (3, 1), "h2": (1, 0)}

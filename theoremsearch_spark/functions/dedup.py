@@ -490,8 +490,68 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_cluster_labels(pairs).orderBy("doc_id")
 
 
+DECONTAM_N = 8  # word n-gram size — the industry-standard 8-13 range
+_BENCH_DOCS = 3  # harness: first docs pose as the benchmark set
+_BENCH_SPAN = (11, 12)  # 1-based token start, span length
+
+
+def benchmark_contamination(
+    docs: DataFrame, bench: DataFrame, n: int = DECONTAM_N
+) -> DataFrame:
+    """Benchmark decontamination — the training-data op every LLM
+    pipeline runs before training: flag corpus docs sharing ANY word
+    n-gram with an eval/benchmark set, so test data can be held out of
+    the training mix. Returns (doc_id, n_bench_shingles = distinct
+    shared n-grams), contaminated docs only.
+
+    Spark-first shape: both sides shingle JVM-side (split → sequence →
+    transform/slice/concat_ws — pure codegen, no Python); the
+    benchmark side is tiny by definition, so its distinct shingles
+    BROADCAST and the corpus-side probe is a broadcast-hash semi join:
+    the 100 TB corpus never shuffles, and reading it once is the whole
+    cost. Docs shorter than n tokens cannot share an n-gram and are
+    skipped on both sides (same rule in the oracle)."""
+
+    def shingled(df: DataFrame, id_col: str) -> DataFrame:
+        toks = F.split(F.col("text"), " ")
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return df.filter(F.size(toks) >= n).select(
+            F.col(id_col), F.explode(F.array_distinct(sh)).alias("sh")
+        )
+
+    bench_sh = shingled(bench, "bench_id").select("sh").distinct()
+    return (
+        shingled(docs, "doc_id")
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bench_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Harness: a deterministic fake benchmark — one token span lifted
+    from each of the first _BENCH_DOCS documents — must flag exactly
+    the docs containing those spans (the sources at minimum)."""
+    d = t(spark, sf_dir, "documents")
+    start, span = _BENCH_SPAN
+    bench = d.filter(F.col("doc_id") < _BENCH_DOCS).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), start, span)
+        ).alias("text"),
+    )
+    return benchmark_contamination(
+        d.select("doc_id", "text"), bench, n=DECONTAM_N
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "decontaminate": q_decontaminate,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_capped": q_dedup_jaccard_capped,
     "dedup_clusters": q_dedup_clusters,
@@ -503,6 +563,31 @@ ORACLES = {
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id
+    """,
+    # same fake benchmark (token spans of the first docs), same n-gram
+    # rule, recomputed with DuckDB list ops (slices are 1-based
+    # inclusive: w[i:i+n-1] is the n-gram at i)
+    "decontaminate": f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents),
+        bench AS (
+            SELECT string_split(array_to_string(
+                w[{_BENCH_SPAN[0]}:{_BENCH_SPAN[0] + _BENCH_SPAN[1] - 1}],
+                ' '), ' ') AS bw
+            FROM toks WHERE doc_id < {_BENCH_DOCS}),
+        bsh AS (
+            SELECT DISTINCT unnest(list_transform(
+                range(1, len(bw) - {DECONTAM_N} + 2),
+                i -> array_to_string(bw[i:i+{DECONTAM_N}-1], ' '))) AS sh
+            FROM bench WHERE len(bw) >= {DECONTAM_N}),
+        dsh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len(w) - {DECONTAM_N} + 2),
+                i -> array_to_string(w[i:i+{DECONTAM_N}-1], ' ')))) AS sh
+            FROM toks WHERE len(w) >= {DECONTAM_N})
+        SELECT doc_id, count(*) AS n_bench_shingles
+        FROM dsh JOIN bsh USING (sh)
+        GROUP BY doc_id ORDER BY doc_id
     """,
     "dedup_ngram_jaccard": f"""
         WITH raw AS (SELECT doc_id, string_split(text, ' ') AS w

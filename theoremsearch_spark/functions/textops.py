@@ -18,7 +18,7 @@ text) — re-pointed at webtext quality signals.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from theoremsearch_spark.operators.relational import t
 
@@ -111,8 +111,50 @@ def q_text_snippet(spark, sf_dir):
     )
 
 
+def host_section_stats(docs: DataFrame, section) -> DataFrame:
+    """Host-level corpus statistics — the CCNet/RefinedWeb-style
+    site-quality primitive: group documents by a caller-supplied
+    `section` Column (on a crawl table,
+    `regexp_extract(url, '^https?://([^/]+/[^/]+)/', 1)` — host +
+    first path segment) and aggregate doc count, mean length, and the
+    exact-duplicate share within the section. At 100 TB this is ONE
+    groupBy on a short string key; the per-section dup count rides the
+    same shuffle via a two-level (section, fingerprint) pre-agg.
+    Sections whose stats cross policy thresholds (spam farms, mirror
+    hosts) are then droppable with a broadcast join against this tiny
+    table — corpus-scale filtering for the cost of one aggregation."""
+    per_fp = (
+        docs.select(
+            section.alias("section"), F.col("n_chars"),
+            F.md5(F.col("text")).alias("fp"),
+        )
+        .groupBy("section", "fp")
+        .agg(F.count("*").alias("copies"), F.sum("n_chars").alias("chars"))
+    )
+    return (
+        per_fp.groupBy("section")
+        .agg(
+            F.sum("copies").alias("n_docs"),
+            F.round(F.sum("chars") / F.sum("copies"), 4).alias("avg_chars"),
+            F.sum(F.col("copies") - 1).alias("n_exact_dup_docs"),
+        )
+        .orderBy("section")
+    )
+
+
+def q_host_stats(spark, sf_dir):
+    """Harness section key: the documents table carries no url, so
+    source/lang plays the host/path-segment role — same aggregation
+    physics, SQL-identical key rule in the oracle."""
+    return host_section_stats(
+        t(spark, sf_dir, "documents"),
+        F.concat_ws("/", F.col("source"), F.col("lang")),
+    )
+
+
 QUERIES = {
     "text_token_count": q_token_count,
+    "host_stats": q_host_stats,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_fingerprint": q_fingerprint,
@@ -122,6 +164,17 @@ QUERIES = {
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
 
 ORACLES = {
+    "host_stats": """
+        WITH per_fp AS (
+            SELECT concat(source, '/', lang) AS section,
+                   md5(text) AS fp, count(*) AS copies,
+                   sum(n_chars) AS chars
+            FROM documents GROUP BY 1, 2)
+        SELECT section, CAST(sum(copies) AS BIGINT) AS n_docs,
+               round(sum(chars) * 1.0 / sum(copies), 4) AS avg_chars,
+               CAST(sum(copies - 1) AS BIGINT) AS n_exact_dup_docs
+        FROM per_fp GROUP BY section ORDER BY section
+    """,
     "text_token_count": """
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,

@@ -776,6 +776,44 @@ def _phrase_snippets_oracle_sql() -> str:
     """
 
 
+def q_facet_counts(spark, sf_dir):
+    """Faceted search: per-query counts of a metadata column over ALL
+    matching documents (conjunctive match set), not just the top-k —
+    the sidebar-counts shape every search UI needs. Candidates come
+    from the index (mode='and', k=0: the full AND set with no extra
+    scan), metadata from the file-pruned docsmeta lookup; the count is
+    a groupBy over k·|AND set| rows, corpus-size independent."""
+    from theoremsearch_spark.query import _localize_hits, _pruned_doc_meta
+
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
+    cand = _localize_hits(spark, topk(spark, idx, qs, k=0, mode="and"))
+    meta = _pruned_doc_meta(
+        spark, os.path.join(idx, "docsmeta"), cand, ["lang"]
+    )
+    return (
+        cand.join(meta, "doc_id")
+        .groupBy("query_id", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("query_id", F.desc("n_docs"), "lang")
+    )
+
+
+def _facet_oracle_sql() -> str:
+    qn = ", ".join(
+        f"({qid}, {len(set(text.split()))})" for qid, text in HARNESS_QUERIES
+    )
+    return f"""
+        WITH {_bm25_scored_cte(with_nt=True)},
+        qn(query_id, n) AS (VALUES {qn})
+        SELECT s.query_id, d.lang, count(*) AS n_docs
+        FROM scored s JOIN qn USING (query_id)
+             JOIN documents d USING (doc_id)
+        WHERE s.nt = qn.n
+        GROUP BY 1, 2 ORDER BY query_id, n_docs DESC, lang
+    """
+
+
 def _bm25_and_oracle_sql(queries=HARNESS_QUERIES, extra_where: str = "") -> str:
     qn = ", ".join(
         f"({qid}, {len(set(text.split()))})" for qid, text in queries
@@ -838,6 +876,7 @@ QUERIES = {
     "bm25_not_topk": q_bm25_not_topk,
     "phrase_topk": q_phrase_topk,
     "phrase_topk_snippets": q_phrase_topk_snippets,
+    "facet_counts": q_facet_counts,
     "bm25_topk_display": q_bm25_topk_display,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_rescored": q_bm25_topk_rescored,
@@ -857,6 +896,8 @@ ORACLES = {
     "phrase_topk": _phrase_oracle_sql(),
     # display shape: the snippet STRINGS must hash-match too
     "phrase_topk_snippets": _phrase_snippets_oracle_sql(),
+    # per-query facet counts over the full conjunctive match set
+    "facet_counts": _facet_oracle_sql(),
     "bm25_topk_display": _bm25_display_oracle_sql(),
     "bm25_topk_filtered": _bm25_filtered_oracle_sql(),
     "bm25_topk_rescored": _bm25_rescored_oracle_sql(),
