@@ -12,10 +12,15 @@ The LLM-corpus shape of the engine's operators, chained end-to-end:
   2. quality gate      (token count bounds, distinct-token ratio,
                         mean token length — textops semantics)
   3. language filter   (declared lang whitelist)
-  4. exact dedup       (content fingerprint, min-doc_id survivor)
-  5. near dedup        (MinHash+LSH, capped buckets, exact-Jaccard
-                        verified; later doc of each pair dropped)
-  6. optional index    (salted, compressed, resumable build_index)
+  4. section gate      (optional --max-section-dup-rate: drop WHOLE
+                        host/path sections whose exact-dup share says
+                        mirror/spam farm — host_section_stats + one
+                        broadcast anti-join, the CCNet-style host
+                        filter BEFORE doc-level dedup)
+  5. exact dedup       (content fingerprint, min-doc_id survivor)
+  6. near dedup        (MinHash+LSH, capped buckets, exact-Jaccard
+                        verified; cluster-canonical survivor)
+  7. optional index    (salted, compressed, resumable build_index)
 
 Every stage is a declarative DataFrame op over the previous stage's
 parquet output, so Catalyst prunes/pushes and each stage is
@@ -44,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-distinct-ratio", type=float, default=0.2)
     p.add_argument("--max-mean-token-len", type=float, default=12.0)
     p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p.add_argument(
+        "--max-section-dup-rate", type=float, default=None,
+        help="drop every doc of a host/path section whose exact-dup "
+             "share exceeds this (mirror/spam-farm gate); default off",
+    )
     p.add_argument("--build-index", action="store_true")
     args = p.parse_args(argv)
 
@@ -95,6 +105,39 @@ def main(argv: list[str] | None = None) -> int:
     quality.write.mode("overwrite").parquet(f"{args.out}/quality")
     quality = spark.read.parquet(f"{args.out}/quality")
     counts["after_quality_lang"] = quality.count()
+
+    if args.max_section_dup_rate is not None:
+        # host/section spam gate BEFORE doc-level dedup: a section
+        # whose exact-dup share exceeds the policy is a mirror or a
+        # template farm — drop it wholesale. host_section_stats is one
+        # groupBy; the section table is tiny, so the drop is a
+        # broadcast anti-join (the corpus reads once, never shuffles).
+        from theoremsearch_spark.functions.textops import host_section_stats
+
+        sec = F.regexp_extract(F.col("url"), r"^https?://([^/]+/[^/]+)/", 1)
+        stats = host_section_stats(
+            quality.select(
+                "url",
+                F.col("extracted_text").alias("text"),
+                F.length("extracted_text").alias("n_chars"),
+            ),
+            sec,
+        )
+        bad = stats.filter(
+            F.col("n_exact_dup_docs")
+            / F.greatest(F.col("n_docs"), F.lit(1))
+            > args.max_section_dup_rate
+        ).select("section")
+        quality = (
+            quality.withColumn("__sec", sec)
+            .join(
+                F.broadcast(bad),
+                F.col("__sec") == F.col("section"),
+                "left_anti",
+            )
+            .drop("__sec")
+        )
+        counts["after_section_gate"] = quality.count()
 
     # exact dedup: min-doc_id survivor per content fingerprint
     fp = quality.select(
