@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
+        "--positions", action="store_true",
+        help="also build the positional-postings sidecar (index/"
+             "positions) — query_topk --phrase then verifies adjacency "
+             "from positions instead of fetching document text",
+    )
+    p.add_argument(
         "--filter-cols", default="lang",
         help="comma-separated metadata columns indexed as filter-term posting "
              "lists (col=value; reference R3 filtered serving); '' disables",
@@ -75,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
         block_size=args.block_size,
         resume=not args.no_resume,
     )
+    if args.positions:
+        from theoremsearch_spark.positions import build_positions
+
+        result["positions"] = build_positions(docs_r, f"{args.out}/index")
     wall = time.monotonic() - t0
     n_docs = docs_r.count()
     manifest = (

@@ -132,13 +132,19 @@ def main(argv: list[str] | None = None) -> int:
         from theoremsearch_spark.query import _localize_hits, _pruned_doc_meta
 
         if args.phrase:
+            import os
+
             from theoremsearch_spark.query import phrase_topk
 
+            # auto-detect the positional sidecar (build_index
+            # --positions): positional adjacency verify, no doc fetch
+            pos_dir = f"{args.index}/index/positions"
             ranked = _localize_hits(
                 spark,
                 phrase_topk(
                     spark, f"{args.index}/index", f"{args.index}/docs", qs,
                     k=args.k, filters=filters or None,
+                    positions_dir=pos_dir if os.path.isdir(pos_dir) else None,
                 ),
             )
         else:

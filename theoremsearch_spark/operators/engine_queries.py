@@ -35,7 +35,7 @@ HARNESS_QUERIES = [
     (4, "table sort order part"),
 ]
 K = 10
-_INDEX_VERSION = "v4"  # bump when index layout / build inputs change
+_INDEX_VERSION = "v5"  # bump when index layout / build inputs change
 
 
 def _content_key(sf_dir: str) -> str:
@@ -76,6 +76,9 @@ def _ensure_index(spark, sf_dir: str) -> str:
         build_index(
             docs, out, salt_threshold=200, n_segments=4, n_buckets=8, resume=False
         )
+        from theoremsearch_spark.positions import build_positions
+
+        build_positions(docs, out)
         d.select("doc_id", "n_chars", "lang", "source").write.mode("overwrite").parquet(
             os.path.join(out, "docsmeta")
         )
@@ -776,6 +779,24 @@ def _phrase_snippets_oracle_sql() -> str:
     """
 
 
+def q_phrase_topk_positional(spark, sf_dir):
+    """Phrase serving via the POSITIONAL sidecar: adjacency from stored
+    per-term occurrence positions (term/bucket-pruned columnar reads,
+    zero doc-text fetch) — must reproduce the doc-text verifier's
+    results exactly, so the oracle is the SAME phrase SQL."""
+    from theoremsearch_spark.query import phrase_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    qs = pd.DataFrame(PHRASE_QUERIES, columns=["query_id", "query_text"])
+    hits = phrase_topk(
+        spark, idx, os.path.join(sf_dir, "documents.parquet"), qs, k=K,
+        text_col="text", positions_dir=os.path.join(idx, "positions"),
+    )
+    return hits.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    ).orderBy("query_id", "rank")
+
+
 def q_facet_counts(spark, sf_dir):
     """Faceted search: per-query counts of a metadata column over ALL
     matching documents (conjunctive match set), not just the top-k —
@@ -876,6 +897,7 @@ QUERIES = {
     "bm25_not_topk": q_bm25_not_topk,
     "phrase_topk": q_phrase_topk,
     "phrase_topk_snippets": q_phrase_topk_snippets,
+    "phrase_topk_positional": q_phrase_topk_positional,
     "facet_counts": q_facet_counts,
     "bm25_topk_display": q_bm25_topk_display,
     "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -896,6 +918,9 @@ ORACLES = {
     "phrase_topk": _phrase_oracle_sql(),
     # display shape: the snippet STRINGS must hash-match too
     "phrase_topk_snippets": _phrase_snippets_oracle_sql(),
+    # positional verification must reproduce the doc-text verifier
+    # exactly — same oracle
+    "phrase_topk_positional": _phrase_oracle_sql(),
     # per-query facet counts over the full conjunctive match set
     "facet_counts": _facet_oracle_sql(),
     "bm25_topk_display": _bm25_display_oracle_sql(),

@@ -832,6 +832,7 @@ def phrase_topk(
     filters=None,
     text_col: str = "extracted_text",
     snippet_pad: int | None = None,
+    positions_dir: str | None = None,
 ) -> DataFrame:
     """Exact-phrase top-k: each query_text is a PHRASE — its tokens must
     appear consecutively, in order, in the document. Two stages, both on
@@ -858,11 +859,42 @@ def phrase_topk(
     escalation path for that shape is a positional-postings sidecar,
     not doc verification. Phrase-shaped matching the reference exposes
     only as un-indexed ILIKE substring predicates over titles/names
-    (/root/reference/streamlit_app.py:220-231)."""
+    (/root/reference/streamlit_app.py:220-231).
+
+    `positions_dir` (a `positions.build_positions` sidecar) switches
+    stage 2 to POSITIONAL verification: adjacency is checked from the
+    stored per-term occurrence positions — term-pruned columnar reads,
+    zero doc-text fetch — which is the scale path for common-token
+    phrases where the AND candidate set is large. Results are
+    bitwise-identical to doc-text verification (same tokenizer
+    produced both artifacts; parity is test-locked). With
+    `snippet_pad`, snippets are then computed from text fetched for
+    the FINAL k·Q rows only — the cheapest possible text touch."""
     cand = _localize_hits(
         spark,
         topk(spark, index_dir, queries, k=0, mode="and", filters=filters),
     )
+    if positions_dir is not None:
+        from theoremsearch_spark.positions import phrase_verify_positional
+
+        ranked = phrase_verify_positional(
+            spark, positions_dir, cand, queries, k
+        )
+        if snippet_pad is None:
+            return ranked
+        ranked = _localize_hits(spark, ranked)
+        docs = _pruned_doc_meta(spark, docs_dir, ranked, [text_col])
+        needles = [
+            (int(qid), " " + " ".join(tokenize(str(txt))) + " ")
+            for qid, txt in zip(queries["query_id"], queries["query_text"])
+        ]
+        ndf = spark.createDataFrame(needles, "query_id int, needle string")
+        return (
+            ranked.join(docs, "doc_id")
+            .join(F.broadcast(ndf), "query_id")
+            .withColumn("snippet", _snippet_expr(text_col, snippet_pad))
+            .select("query_id", "rank", "doc_id", "score", "snippet")
+        )
     docs = _pruned_doc_meta(spark, docs_dir, cand, [text_col])
     return _verify_phrase(
         spark, cand, docs, queries, k, text_col, snippet_pad=snippet_pad
@@ -899,12 +931,7 @@ def _verify_phrase(
     out_cols = ["query_id", "rank", "doc_id", "score"]
     if snippet_pad is not None:
         verified = verified.withColumn(
-            "snippet",
-            F.expr(
-                f"substring({_norm_sql(text_col)}, "
-                f"greatest(1, locate(needle, {_norm_sql(text_col)}) - {int(snippet_pad)}), "
-                f"{2 * int(snippet_pad)} + length(needle))"
-            ),
+            "snippet", _snippet_expr(text_col, snippet_pad)
         )
         out_cols.append("snippet")
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -912,6 +939,17 @@ def _verify_phrase(
         verified.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(*out_cols)
+    )
+
+
+def _snippet_expr(text_col: str, pad: int):
+    """±pad-char normalized-text window around the first needle
+    occurrence — locate + substring over the same normalization the
+    contains verification uses."""
+    return F.expr(
+        f"substring({_norm_sql(text_col)}, "
+        f"greatest(1, locate(needle, {_norm_sql(text_col)}) - {int(pad)}), "
+        f"{2 * int(pad)} + length(needle))"
     )
 
 
