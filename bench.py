@@ -152,6 +152,26 @@ def main() -> int:
 
         extras["phrase_rows"] = timed("engine_phrase", serve_phrase, reps=2)
 
+        # positional sidecar: build cost + the no-doc-fetch phrase path
+        from theoremsearch_spark.positions import build_positions
+
+        def pos_build():
+            return build_positions(
+                spark.read.parquet(f"{work}/docs"), f"{work}/index"
+            )["position_rows"]
+
+        extras["position_rows"] = timed("positions_build", pos_build, reps=1)
+
+        def serve_phrase_pos():
+            return phrase_topk(
+                spark, f"{work}/index", f"{work}/docs", qs, k=10,
+                positions_dir=f"{work}/index/positions",
+            ).count()
+
+        extras["phrase_pos_rows"] = timed(
+            "engine_phrase_positional", serve_phrase_pos, reps=2
+        )
+
         # --- engine: FILTERED serving (R3 — predicate inside the ranked
         # query, intersected as a salted posting list; lang=en ≈ 90% of
         # docs, the worst-case heavy filter) ---------------------------
