@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", help="build: index dir / search: result parquet")
     p.add_argument("--index", help="index dir from build (all modes but build)")
     p.add_argument("--centroids", type=int, default=None)
+    p.add_argument(
+        "--quantize", choices=["sq8"], default=None,
+        help="build: store vectors as per-vector-scaled int8 (~4x less "
+        "probed-cell IO at serve time; recall within the SQ8 envelope)",
+    )
     p.add_argument("--queries", help="search: parquet with (query_id, qvec)")
     p.add_argument(
         "--self-queries", type=int, default=0,
@@ -111,7 +116,8 @@ def main(argv: list[str] | None = None) -> int:
             if c not in emb.columns:
                 p.error(f"--embeddings parquet lacks required column {c!r}")
         res = build_ann_index(
-            emb, args.out, n_centroids=args.centroids or N_CENTROIDS
+            emb, args.out, n_centroids=args.centroids or N_CENTROIDS,
+            quantize=args.quantize,
         )
         out = {"job": "ann_index_build", **res}
     elif args.mode == "add":
