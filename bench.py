@@ -289,6 +289,33 @@ def main() -> int:
 
         timed("ann_search_rescored", ann_serve_rescored, reps=2)
 
+        # SQ8 packed-binary index: build once, measure serve + bytes
+        def ann_build_sq8():
+            return build_ann_index(
+                spark.read.parquet(f"{work}/vectors"), f"{work}/ann8",
+                n_centroids=256, quantize="sq8",
+            )
+
+        timed("ann_build_sq8", ann_build_sq8, reps=1)
+
+        def ann_serve_sq8():
+            return ann_ivf_search(spark, f"{work}/ann8", qv, k=10).count()
+
+        timed("ann_search_sq8", ann_serve_sq8, reps=3)
+        extras["ann_sq8_q_per_sec"] = round(
+            len(qv) / timings["ann_search_sq8"], 2
+        )
+
+        def cells_bytes(root):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(f"{root}/cells")
+                for f in fs
+            )
+
+        extras["ann_cells_bytes_f32"] = cells_bytes(f"{work}/ann")
+        extras["ann_cells_bytes_sq8"] = cells_bytes(f"{work}/ann8")
+
         # --- headline operators over the driver tables -----------------
         heads = {
             "pricing_summary": relational.q_pricing_summary,
