@@ -17,10 +17,13 @@ The LLM-corpus shape of the engine's operators, chained end-to-end:
                         mirror/spam farm — host_section_stats + one
                         broadcast anti-join, the CCNet-style host
                         filter BEFORE doc-level dedup)
-  5. exact dedup       (content fingerprint, min-doc_id survivor)
-  6. near dedup        (MinHash+LSH, capped buckets, exact-Jaccard
+  5. decontamination   (optional --benchmark parquet: docs sharing any
+                        word n-gram with the eval set are dropped —
+                        broadcast shingle semi-join)
+  6. exact dedup       (content fingerprint, min-doc_id survivor)
+  7. near dedup        (MinHash+LSH, capped buckets, exact-Jaccard
                         verified; cluster-canonical survivor)
-  7. optional index    (salted, compressed, resumable build_index)
+  8. optional index    (salted, compressed, resumable build_index)
 
 Every stage is a declarative DataFrame op over the previous stage's
 parquet output, so Catalyst prunes/pushes and each stage is
@@ -53,6 +56,15 @@ def main(argv: list[str] | None = None) -> int:
         "--max-section-dup-rate", type=float, default=None,
         help="drop every doc of a host/path section whose exact-dup "
              "share exceeds this (mirror/spam-farm gate); default off",
+    )
+    p.add_argument(
+        "--benchmark",
+        help="parquet with (bench_id, text): drop docs sharing any "
+             "word n-gram with this eval set (decontamination)",
+    )
+    p.add_argument(
+        "--decontam-n", type=int, default=8,
+        help="decontamination n-gram size (industry range 8-13)",
     )
     p.add_argument("--build-index", action="store_true")
     args = p.parse_args(argv)
@@ -138,6 +150,21 @@ def main(argv: list[str] | None = None) -> int:
             .drop("__sec")
         )
         counts["after_section_gate"] = quality.count()
+
+    if args.benchmark:
+        # decontamination: docs sharing any word n-gram with the eval
+        # set never enter the training mix (broadcast shingle semi-join
+        # — the corpus side reads once, never shuffles)
+        from theoremsearch_spark.functions.dedup import benchmark_contamination
+
+        bench = spark.read.parquet(args.benchmark)
+        flagged = benchmark_contamination(
+            quality.select("doc_id", F.col("extracted_text").alias("text")),
+            bench,
+            n=args.decontam_n,
+        ).select("doc_id")
+        quality = quality.join(flagged, "doc_id", "left_anti")
+        counts["after_decontamination"] = quality.count()
 
     # exact dedup: min-doc_id survivor per content fingerprint
     fp = quality.select(

@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--centroids", type=int, default=None)
     p.add_argument(
+        "--quantize", choices=["sq8"], default=None,
+        help="bootstrap the index with SQ8 packed-binary vector "
+        "storage (later batches follow the committed meta)",
+    )
+    p.add_argument(
         "--no-upsert", action="store_true",
         help="skip prior-version tombstoning (caller guarantees fresh "
         "ids; weakens the crash-replay contract — see ann_stream.py)",
@@ -107,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
         schema=schema,
         upsert=not args.no_upsert,
         n_centroids=args.centroids,
+        quantize=args.quantize,
     )
     stream.start().awaitTermination()
 

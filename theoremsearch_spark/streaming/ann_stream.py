@@ -69,6 +69,7 @@ def stream_ann_ingest(
     schema,
     upsert: bool = True,
     n_centroids: int | None = None,
+    quantize: str | None = None,
 ):
     """Build the writeStream: parquet files landing in `input_dir`
     (schema required by readStream) → one `add_to_ann_index` call per
@@ -107,8 +108,11 @@ def stream_ann_ingest(
             batch_df = batch_df.filter(F.col("_src_path").isin(sorted(new)))
         batch_df = batch_df.drop("_src_path")
         if not os.path.exists(f"{index_dir}/ivf_meta.json"):
+            # quantize applies at bootstrap only; later adds read the
+            # committed meta and quantize (or not) to match
             build_ann_index(
-                batch_df, index_dir, n_centroids=n_centroids or N_CENTROIDS
+                batch_df, index_dir, n_centroids=n_centroids or N_CENTROIDS,
+                quantize=quantize,
             )
         else:
             add_to_ann_index(batch_df, index_dir, upsert=upsert)
