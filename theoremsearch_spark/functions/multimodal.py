@@ -10,7 +10,9 @@ the common web cases — no PIL/cv2/libav in this container:
   - JPEG: FULL baseline decode/encode (`jpegcodec.py` — gray/YCbCr,
     any legal sampling, restart markers) AND progressive (SOF2:
     spectral selection + successive approximation);
-  - WEBP: dimensions from the VP8/VP8L/VP8X chunk headers;
+  - WEBP: FULL pixel decode for LOSSLESS (VP8L — prefix codes, LZ77,
+    color cache, all four transforms incl. bundled palettes,
+    `webpcodec.py`); lossy VP8 reports dimensions only;
   - GIF: FULL frame decode (variable-width LZW + palette + canvas
     compositing + transparency + de-interlace) — animated GIFs are a
     real video-frame-sampling path (frame_sample re-emits PNGs);
@@ -20,7 +22,7 @@ the common web cases — no PIL/cv2/libav in this container:
   - BMP: 24-bit uncompressed pixel decode/encode (real resize);
   - WAV: full PCM16 decode (fmt-chunk walk + frombuffer) with real
     audio features (duration, RMS, zero-crossing rate).
-What still needs an external codec (WEBP pixels, 16-bit/palette
+What still needs an external codec (lossy-VP8 pixels, 16-bit/palette
 PNG, compressed audio, codec-bound video mp4/webm) is
 metadata-only in the feature path and raises in the resize path;
 swapping in PIL/libav is a one-function change in `decode_image`.
@@ -324,7 +326,7 @@ def decode_image(
     for the synthetic format, real 8-bit PNGs (gray/RGB/RGBA), JPEG
     (baseline AND progressive, gray/YCbCr, any legal sampling —
     `jpegcodec.py`), GIF (first frame) and 24-bit BMP; the remaining
-    variants (16-bit/palette/interlaced PNG, RIFF/WEBP) return
+    variants (16-bit/palette/interlaced PNG, lossy-VP8 WEBP) return
     metadata only — their pixel decode is the remaining
     external-codec dependency.
     WEBP images inside a RIFF container report dimensions from the
@@ -354,7 +356,15 @@ def decode_image(
     if fmt == "riff":
         dims = parse_webp_dims(raw)
         if dims:
-            return "webp", dims[0], dims[1], None, 0
+            from theoremsearch_spark.functions.webpcodec import (
+                decode_webp_lossless,
+            )
+
+            d = decode_webp_lossless(raw)
+            if d is not None:  # VP8L: full pixel decode
+                px, c = d
+                return "webp", dims[0], dims[1], px.reshape(-1), c
+            return "webp", dims[0], dims[1], None, 0  # lossy VP8: dims only
         avi = parse_avi_header(raw)
         if avi:
             # container dims; FRAME pixels come from frame_sample →
@@ -757,8 +767,8 @@ def resize_stub(media: DataFrame, max_side: int) -> DataFrame:
     24-bit BMP (re-emitted as BMP), and GIF (first frame decoded via
     the LZW path, re-emitted as PNG — a documented format conversion:
     there is no stdlib GIF re-encode for RGB frames). Variants we
-    cannot decode to pixels (palette/16-bit PNG,
-    RIFF) raise NotImplementedError — a silent pass-through would be a
+    cannot decode to pixels (palette/16-bit PNG, lossy-VP8
+    WEBP) raise NotImplementedError — a silent pass-through would be a
     resize that quietly did nothing. Unknown blobs pass through."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -778,7 +788,9 @@ def resize_stub(media: DataFrame, max_side: int) -> DataFrame:
                     )
                 step = max(1, max(w, h) // max_side)
                 img = px[: w * h * c].reshape(h, w, c)[::step, ::step]
-                if fmt in ("png", "gif"):
+                if fmt in ("png", "gif", "webp"):
+                    # webp (VP8L) re-emits as PNG — a documented format
+                    # conversion, like GIF: no stdlib VP8L encoder
                     out.append((int(mid), encode_png(img)))
                 elif fmt == "jpeg":
                     from theoremsearch_spark.functions.jpegcodec import (
