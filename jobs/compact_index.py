@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
         "is never rewritten; default (unset) merges everything",
     )
     p.add_argument("--buckets", type=int, default=32)
+    p.add_argument(
+        "--positions", action="store_true",
+        help="build a positions sidecar for the compacted generation "
+             "(required to keep positional phrase serving on roots "
+             "whose generations carry sidecars)",
+    )
     p.add_argument("--segments", type=int, default=8)
     p.add_argument("--salt-threshold", type=int, default=50_000)
     p.add_argument(
@@ -78,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         args.root,
         min_generations=args.min_generations,
         tier_fraction=args.tier_fraction,
+        positions=args.positions,
         n_buckets=args.buckets,
         n_segments=args.segments,
         salt_threshold=args.salt_threshold,

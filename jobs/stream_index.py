@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="generations root")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--buckets", type=int, default=32)
+    p.add_argument(
+        "--positions", action="store_true",
+        help="build a positional-postings sidecar per generation "
+             "(query_topk --gens --phrase then verifies from positions)",
+    )
     p.add_argument("--segments", type=int, default=8)
     p.add_argument("--salt-threshold", type=int, default=50_000)
     p.add_argument(
@@ -115,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
         args.out,
         args.checkpoint,
         filter_cols=[c.strip() for c in args.filter_cols.split(",") if c.strip()],
+        positions=args.positions,
         salt_threshold=args.salt_threshold,
         n_segments=args.segments,
         n_buckets=args.buckets,

@@ -180,6 +180,31 @@ def test_multi_generation_phrase_topk(spark, stream_index):
             got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9
         )
 
+    # positional sidecars per generation: the positions path must be
+    # bitwise-identical — and PARTIAL sidecar coverage must raise, not
+    # silently drop the uncovered generation's matches
+    import pytest as _pytest
+
+    from theoremsearch_spark.positions import build_positions
+
+    g0 = gens.iloc[0]
+    d0 = f"{out}/gen_{g0.gen}/docs" if g0.base == 0 else f"{out}/gen_{g0.gen}/docs_offset"
+    build_positions(spark.read.parquet(d0), f"{out}/gen_{g0.gen}/index")
+    with _pytest.raises(ValueError, match="positions sidecar missing"):
+        phrase_topk_all_generations(
+            spark, out, qs[["query_id", "query_text"]], k=10, use_positions=True
+        )
+    for g in gens.iloc[1:].itertuples():
+        p = f"{out}/gen_{g.gen}/docs" if g.base == 0 else f"{out}/gen_{g.gen}/docs_offset"
+        build_positions(spark.read.parquet(p), f"{out}/gen_{g.gen}/index")
+    via_pos = phrase_topk_all_generations(
+        spark, out, qs[["query_id", "query_text"]], k=10  # auto-detects
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        hits.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        via_pos.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
 
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
     # batch-vs-stream parity: run the same aggregation on a file stream

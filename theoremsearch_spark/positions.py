@@ -105,7 +105,7 @@ def build_positions(
 
 def phrase_verify_positional(
     spark: SparkSession,
-    positions_dir: str,
+    positions_dir: str | list[str],
     cand: DataFrame,
     queries: pd.DataFrame,
     k: int,
@@ -158,11 +158,23 @@ def phrase_verify_positional(
     )
     all_tids = {r[1] for r in pt_rows}
 
+    # one sidecar root (single index) or several (one per committed
+    # generation of a streamed root — doc_ids are globally unique via
+    # the generation offsets, so the union IS the corpus positions)
+    roots = [positions_dir] if isinstance(positions_dir, str) else list(positions_dir)
     pbs = sorted({tid % n_buckets for tid in all_tids})
-    paths = [f"{positions_dir}/pb={b}" for b in pbs]
+    import os
+
+    paths = [
+        p
+        for root in roots
+        for b in pbs
+        if os.path.isdir(p := f"{root}/pb={b}")
+    ]
+    if not paths:
+        return spark.createDataFrame([], TOPK_SCHEMA)
     pos = (
-        spark.read.option("basePath", positions_dir)
-        .parquet(*paths)
+        spark.read.parquet(*paths)
         .filter(F.col("term_id").isin([int(t) for t in all_tids]))
     )
 

@@ -267,6 +267,7 @@ def compact_generations(
     out_dir: str,
     min_generations: int = 2,
     tier_fraction: float | None = None,
+    positions: bool = False,
     **build_kwargs,
 ) -> dict:
     """LSM-style merge: union committed generations' docs tables
@@ -389,6 +390,10 @@ def compact_generations(
         fcols = sorted(inter)
     bdocs, built_fcols = _with_filter_terms(docs, fcols)
     build_index(bdocs, f"{new_dir}/index", resume=False, **build_kwargs)
+    if positions:
+        from theoremsearch_spark.positions import build_positions
+
+        build_positions(docs, f"{new_dir}/index")
     # carry the url key index forward: the compacted generation answers
     # future upsert batches' prior-version lookups from bucket reads too.
     # Hand-built roots whose docs never stored url/term_tfs can't build
@@ -580,6 +585,7 @@ def incremental_index(
     out_dir: str,
     checkpoint_dir: str,
     filter_cols: list[str] | None = None,
+    positions: bool = False,
     **build_kwargs,
 ):
     """Stream documents (parquet files landing in input_dir) into an
@@ -632,6 +638,13 @@ def incremental_index(
         n = docs.count()
         docs, fcols = _with_filter_terms(docs, filter_cols)
         build_index(docs, f"{gen_dir}/index", resume=False, **build_kwargs)
+        if positions:
+            # per-generation positions sidecar: phrase_topk_all_
+            # generations verifies adjacency without doc fetch when
+            # EVERY committed generation carries one
+            from theoremsearch_spark.positions import build_positions
+
+            build_positions(docs, f"{gen_dir}/index")
         # url→doc key index for THIS generation: future batches that
         # re-ingest any of these urls read only the hash buckets their
         # urls land in, never this generation's docs table
@@ -1001,13 +1014,26 @@ def phrase_topk_all_generations(
     spark: SparkSession, out_dir: str, queries, k: int = 10,
     filters=None, text_col: str = "extracted_text",
     snippet_pad: int | None = None,
+    use_positions: bool | None = None,
 ) -> DataFrame:
     """Exact-phrase top-k on a streamed/upserted multi-generation root:
     conjunctive candidates come from `topk_all_generations(mode="and",
-    k=0)` — merged global stats, tombstoned versions excluded — and
-    adjacency verification reads candidate text from the per-generation
-    docs tables via file-pruned point lookups (`pruned_generation_docs`).
-    Same contract as query.phrase_topk on a single index."""
+    k=0)` — merged global stats, tombstoned versions excluded — then
+    adjacency verification.
+
+    Verification strategy: when EVERY committed generation carries a
+    positions sidecar (its builder ran `build_positions` on the
+    generation's docs), verification reads positions across the
+    per-generation sidecars (doc_ids are globally unique via the
+    generation offsets, and candidates are already tombstone-filtered,
+    so stale versions' positions are unreachable). Otherwise candidate
+    text comes from the per-generation docs tables via file-pruned
+    point lookups (`pruned_generation_docs`). `use_positions`:
+    None=auto (all-or-nothing check), True=require sidecars (raises if
+    any generation lacks one — no silent strategy downgrade),
+    False=doc-text verify."""
+    import os
+
     from theoremsearch_spark.query import _localize_hits, _verify_phrase
 
     cand = _localize_hits(
@@ -1016,6 +1042,46 @@ def phrase_topk_all_generations(
             spark, out_dir, queries, k=0, mode="and", filters=filters
         ),
     )
+    pos_roots = []
+    missing = []
+    for g in _generations(spark, out_dir):
+        if g.get("delete_only"):
+            continue
+        p = f"{out_dir}/gen_{g['gen']}/index/positions"
+        (pos_roots if os.path.isdir(p) else missing).append(p)
+    if use_positions is None:
+        use_positions = bool(pos_roots) and not missing
+    if use_positions:
+        if missing:
+            raise ValueError(
+                f"positions sidecar missing for generation dirs {missing}; "
+                "rebuild those generations with positions (or pass "
+                "use_positions=False) — a partial sidecar would silently "
+                "drop matches from the uncovered generations"
+            )
+        from theoremsearch_spark.positions import phrase_verify_positional
+
+        ranked = phrase_verify_positional(spark, pos_roots, cand, queries, k)
+        if snippet_pad is None:
+            return ranked
+        ranked = _localize_hits(spark, ranked)
+        ids = [int(r["doc_id"]) for r in ranked.select("doc_id").distinct().collect()]
+        docs = pruned_generation_docs(spark, out_dir, ids, cols=[text_col])
+        from pyspark.sql import Window as W
+        from theoremsearch_spark.extract import tokenize
+        from theoremsearch_spark.query import _snippet_expr
+
+        needles = [
+            (int(qid), " " + " ".join(tokenize(str(txt))) + " ")
+            for qid, txt in zip(queries["query_id"], queries["query_text"])
+        ]
+        ndf = spark.createDataFrame(needles, "query_id int, needle string")
+        return (
+            ranked.join(docs, "doc_id")
+            .join(F.broadcast(ndf), "query_id")
+            .withColumn("snippet", _snippet_expr(text_col, snippet_pad))
+            .select("query_id", "rank", "doc_id", "score", "snippet")
+        )
     ids = [int(r["doc_id"]) for r in cand.select("doc_id").distinct().collect()]
     docs = pruned_generation_docs(spark, out_dir, ids, cols=[text_col])
     return _verify_phrase(
