@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
         help="add: skip the prior-version lookup (caller guarantees fresh ids)",
     )
     p.add_argument("--ids", help="delete: comma-separated vec_ids")
+    p.add_argument(
+        "--last-n", type=int, default=None,
+        help="compact: tiered — merge only the NEWEST N generations "
+        "(the micro-batch tier), leaving older generations untouched; "
+        "omit for a full merge that also clears tombstones",
+    )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName(f"ts-ann-{args.mode}").getOrCreate()
@@ -136,7 +142,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.mode == "compact":
         if not args.index:
             p.error("compact requires --index")
-        res = compact_ann_index(spark, args.index)
+        res = compact_ann_index(spark, args.index, last_n=args.last_n)
         out = {"job": "ann_index_compact", **res}
     else:
         if not args.index:

@@ -680,3 +680,76 @@ def test_sq8_quantized_index(spark, emb_frames, tmp_path):
     )
     # live_cells exposes a dequantized embedding view (self-query path)
     assert "embedding" in live_cells(spark, q8).columns
+
+
+def test_ann_tiered_compaction(spark, emb_frames, tmp_path):
+    """Suffix (tiered) compaction merges only the newest N generations:
+    serving stays bitwise identical, older generation dirs are
+    untouched, tombstones survive to keep guarding them, and a later
+    FULL compaction still collapses everything and clears tombstones."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from theoremsearch_spark.functions.similarity import (
+        add_to_ann_index,
+        ann_ivf_search,
+        build_ann_index,
+        compact_ann_index,
+    )
+
+    emb, queries = emb_frames
+    qp = queries.toPandas()
+    out = str(tmp_path / "tiered")
+    build_ann_index(emb, out)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    emb_pdf = emb.toPandas()
+
+    def vec(i):
+        return [float(x) for x in emb_pdf.loc[emb_pdf.vec_id == i, "embedding"].iloc[0]]
+
+    # three micro-batches: a fresh id, then two re-embeds (tombstones)
+    add_to_ann_index(spark.createDataFrame([(500, vec(10))], schema), out)
+    add_to_ann_index(spark.createDataFrame([(0, vec(75))], schema), out)
+    add_to_ann_index(spark.createDataFrame([(500, vec(20))], schema), out)
+
+    before = (
+        ann_ivf_search(spark, out, qp, k=K)
+        .toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    )
+    gen0_mtime = os.path.getmtime(f"{out}/cells/gen=0")
+
+    res = compact_ann_index(spark, out, last_n=3)
+    assert res["compacted"] and not res["full"]
+    assert res["merged_generations"] == [1, 2, 3]
+    assert os.path.getmtime(f"{out}/cells/gen=0") == gen0_mtime  # untouched
+    assert not os.path.isdir(f"{out}/cells/gen=1")
+    assert not os.path.isdir(f"{out}/cells/gen=2")
+    assert os.path.isdir(f"{out}/cells/gen=3")  # merged span lives here
+    assert os.path.isdir(f"{out}/tombstones")   # still guarding gen 0
+
+    after = (
+        ann_ivf_search(spark, out, qp, k=K)
+        .toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
+
+    # the tombstoned stale version of id 0 (gen 0) must STILL not serve
+    probe = pd.DataFrame({"query_id": [0], "qvec": [vec(75)]})
+    hits = ann_ivf_search(spark, out, probe, k=5).toPandas()
+    assert 0 in set(hits["vec_id"])
+
+    res2 = compact_ann_index(spark, out)
+    assert res2["compacted"] and res2["full"]
+    assert not os.path.isdir(f"{out}/tombstones")
+    final = (
+        ann_ivf_search(spark, out, qp, k=K)
+        .toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, final)

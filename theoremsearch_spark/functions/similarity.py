@@ -699,25 +699,54 @@ def delete_from_ann_index(spark, out_dir: str, vec_ids) -> dict:
     return {"deleted": int(n_del)}
 
 
-def compact_ann_index(spark, out_dir: str) -> dict:
-    """Merge every committed generation into one, dropping tombstoned
-    rows and clearing the tombstone set — the vacuum analog for the
-    vector store. The survivors are written at the HIGHEST committed
-    gen number (so any tombstone that survives a crash window can only
-    reference strictly-lower gens and kills nothing), staged under
-    .compact/ and swapped in by rename: keyindex first, then cells,
-    then the tombstone clear, then the meta write — every intermediate
-    crash state serves correctly (old cells + old tombstones, or
-    compacted cells whose gen out-ranks every old tombstone)."""
+def compact_ann_index(spark, out_dir: str, last_n: int | None = None) -> dict:
+    """Merge committed generations into one, dropping tombstoned rows —
+    the vacuum analog for the vector store.
+
+    `last_n=None` (full): every generation merges, the tombstone set
+    clears. `last_n=N` (TIERED, the streaming-friendly shape): only the
+    NEWEST N generations — the micro-batch tier — merge, older
+    generations stay untouched, so the cost is O(recent churn) instead
+    of O(corpus) per call. The suffix form needs NO layout change: the
+    merged survivors land at the highest committed gen number, the
+    reader visibility rule (gen < committed count) is unaffected, and
+    every kept tombstone still kills exactly the old-generation rows
+    it should (survivors out-rank it; an id whose live version was in
+    the merged span now carries the top gen in the rewritten keyindex,
+    which is still its max).
+
+    Staged under .compact/ and swapped in by rename — keyindex first,
+    then cells, then (full only) the tombstone clear, then the meta
+    write. Crash honesty: the swap itself is a brief window of
+    directory renames (metadata-fast); a crash inside it leaves the
+    full form ERRORING (no cells root — loud) and the suffix form
+    serving the untouched older generations only until the
+    single-writer retries the compaction. Neither window can
+    double-serve a row: the staged generation becomes visible only
+    when it replaces the renamed-away span."""
     import os
+    import re
     import shutil
 
     meta = _read_ivf_meta(out_dir)
     n_gens = int(meta["generations"])
+    existing = sorted(
+        int(m.group(1))
+        for name in os.listdir(f"{out_dir}/cells")
+        if (m := re.fullmatch(r"gen=(\d+)", name)) and int(m.group(1)) < n_gens
+    ) if os.path.isdir(f"{out_dir}/cells") else []
+    if last_n is None or last_n >= len(existing):
+        merge_gens = existing
+        full = True
+    else:
+        if last_n < 2:
+            return {"compacted": False, "reason": "last_n < 2 merges nothing"}
+        merge_gens = existing[-last_n:]
+        full = False
     tomb = _visible_tombstones(spark, out_dir, n_gens)
-    if tomb is None and n_gens == 1:
+    if tomb is None and len(merge_gens) <= 1:
         return {"compacted": False, "reason": "single generation, no tombstones"}
-    cell_paths = _committed_gen_dirs(out_dir, "cells", n_gens)
+    cell_paths = [f"{out_dir}/cells/gen={g}" for g in merge_gens]
     if not cell_paths:
         return {"compacted": False, "reason": "no committed cells"}
     cells = spark.read.option("basePath", f"{out_dir}/cells").parquet(*cell_paths)
@@ -744,15 +773,37 @@ def compact_ann_index(spark, out_dir: str) -> dict:
     old = f"{out_dir}/.compact.old"
     shutil.rmtree(old, ignore_errors=True)
     os.makedirs(old)
-    for sub in ("keyindex", "cells"):  # keyindex first — see docstring
-        os.rename(f"{out_dir}/{sub}", f"{old}/{sub}")
-        os.rename(f"{stage}/{sub}", f"{out_dir}/{sub}")
-    shutil.rmtree(f"{out_dir}/tombstones", ignore_errors=True)
-    meta["n_vectors"] = int(n_live)
+    if full:
+        for sub in ("keyindex", "cells"):  # keyindex first — see docstring
+            os.rename(f"{out_dir}/{sub}", f"{old}/{sub}")
+            os.rename(f"{stage}/{sub}", f"{out_dir}/{sub}")
+        shutil.rmtree(f"{out_dir}/tombstones", ignore_errors=True)
+    else:
+        # suffix swap: move the merged span's dirs out, move the staged
+        # gen in (keyindex first, same ordering rationale). Tombstones
+        # are KEPT — they still guard the untouched older generations;
+        # entries pointing only into the merged span are inert (the
+        # survivors out-rank them) and a later FULL compact clears them.
+        for sub in ("keyindex", "cells"):
+            os.makedirs(f"{old}/{sub}", exist_ok=True)
+            for g in merge_gens:
+                src = f"{out_dir}/{sub}/gen={g}"
+                if os.path.isdir(src):
+                    os.rename(src, f"{old}/{sub}/gen={g}")
+            os.rename(f"{stage}/{sub}/gen={target}", f"{out_dir}/{sub}/gen={target}")
+    if full:
+        meta["n_vectors"] = int(n_live)
+    # suffix form: the LIVE count is unchanged (dead rows were already
+    # excluded from the running n_vectors by add/delete accounting)
     _write_ivf_meta(out_dir, meta)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
-    return {"compacted": True, "n_vectors": int(n_live)}
+    return {
+        "compacted": True,
+        "n_vectors": int(meta["n_vectors"]),
+        "merged_generations": merge_gens,
+        "full": full,
+    }
 
 
 def live_cells(spark, out_dir: str) -> DataFrame:
