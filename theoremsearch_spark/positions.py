@@ -99,8 +99,27 @@ def build_positions(
         .partitionBy("pb")
         .parquet(f"{out_dir}/positions")
     )
-    n = docs.sparkSession.read.parquet(f"{out_dir}/positions").count()
+    # row count from the just-written parquet FOOTERS (driver-side
+    # metadata walk, zero data read) — the previous
+    # read.parquet(...).count() launched a full extra scan of the
+    # sidecar (∝ corpus: 4.4 M rows at sf0.1) just to report a number
+    n = _footer_row_count(f"{out_dir}/positions")
     return {"position_rows": int(n), "buckets": int(n_buckets)}
+
+
+def _footer_row_count(root: str) -> int:
+    """Sum of parquet-footer num_rows over every data file under
+    `root` — one driver-side metadata pass, no Spark job."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+    return total
 
 
 def phrase_verify_positional(

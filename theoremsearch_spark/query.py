@@ -741,8 +741,57 @@ def topk(
             "semantics",
             stacklevel=2,
         )
-    meta = load_index_meta(spark, index_dir)
-    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    prep = _serve_prep(
+        spark, index_dir, queries, filters=filters, not_terms=not_terms,
+        k1=k1, b=b,
+    )
+    return topk_frames(
+        spark, prep["blocks"], prep["tstats"], queries,
+        k=k, filters=filters, allowed_docs=allowed_docs,
+        excluded_docs=excluded_docs, mode=mode, not_terms=not_terms,
+        **prep["frame_kwargs"],
+    )
+
+
+def _serve_prep(
+    spark: SparkSession,
+    index_dir: str,
+    queries: pd.DataFrame,
+    *,
+    filters=None,
+    not_terms: list[str] | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+) -> dict:
+    """Per-index serving state, loaded ONCE per batch: doc_stats
+    metadata and the term-dictionary rows for every term the batch (and
+    its filters / must-nots) touches, plus the lazy postings frame.
+
+    The two loads are independent tiny jobs, so they run CONCURRENTLY
+    (guide §2.6 — overlap independent jobs); chunked serving
+    (`topk_batched`) calls this once for the WHOLE batch and reuses the
+    result for every chunk, so serve prep is O(1) in the chunk count —
+    the same serve-prep-runs-once discipline topk_all_generations and
+    ann_ivf_search_batched already follow."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
+    for g in _normalize_filters(filters):
+        all_terms.extend(g)
+    all_terms.extend(not_terms or [])
+
+    def load_tstats() -> pd.DataFrame:
+        return (
+            spark.read.parquet(f"{index_dir}/term_stats")
+            .filter(F.col("term").isin(all_terms))
+            .toPandas()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_meta = pool.submit(load_index_meta, spark, index_dir)
+        fut_tstats = pool.submit(load_tstats)
+        meta = fut_meta.result()
+        tstats = fut_tstats.result()
     if k1 is not None and abs(float(k1) - float(meta["k1"])) > 1e-12:
         raise ValueError(
             f"k1={k1} differs from index build k1={meta['k1']}; "
@@ -753,27 +802,18 @@ def topk(
             f"b={b} differs from index build b={meta['b']}; "
             "block-max pruning bounds would be unsound — rebuild the index"
         )
-    k1, b = float(meta["k1"]), float(meta["b"])
-    n_segments = int(meta.get("n_segments", 1) or 1)
-    salt_threshold = meta.get("salt_threshold")
-
-    all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
-    for g in _normalize_filters(filters):
-        all_terms.extend(g)
-    all_terms.extend(not_terms or [])
-    tstats = (
-        spark.read.parquet(f"{index_dir}/term_stats")
-        .filter(F.col("term").isin(all_terms))
-        .toPandas()
-    )
-    blocks = spark.read.parquet(f"{index_dir}/postings")
-    return topk_frames(
-        spark, blocks, tstats, queries,
-        n_docs=n_docs, avgdl=avgdl, k1=k1, b=b, k=k,
-        filters=filters, allowed_docs=allowed_docs, excluded_docs=excluded_docs,
-        salt_threshold=salt_threshold, n_segments=n_segments,
-        mode=mode, not_terms=not_terms,
-    )
+    return {
+        "tstats": tstats,
+        "blocks": spark.read.parquet(f"{index_dir}/postings"),
+        "frame_kwargs": dict(
+            n_docs=int(meta["n_docs"]),
+            avgdl=float(meta["avgdl"]),
+            k1=float(meta["k1"]),
+            b=float(meta["b"]),
+            n_segments=int(meta.get("n_segments", 1) or 1),
+            salt_threshold=meta.get("salt_threshold"),
+        ),
+    }
 
 
 def topk_batched(
@@ -804,17 +844,39 @@ def topk_batched(
     working set; chunks are independent jobs with no cross-chunk state,
     so stragglers and retries are contained per chunk. Results are
     bitwise identical to one big batch: scoring is per-query, global
-    stats are batch-independent."""
+    stats are batch-independent.
+
+    Serve prep (doc_stats metadata + the batch's term-dictionary rows)
+    runs ONCE for the whole batch, not once per chunk: the prep is
+    chunk-independent by construction (the term set is the union over
+    all queries; a chunk's _build_qterms merge simply ignores the other
+    chunks' rows), so only the scoring job repeats."""
     if not max_batch or len(queries) <= max_batch:
         return topk(spark, index_dir, queries, k=k, **topk_kwargs)
     import time
 
+    if topk_kwargs.get("excluded_docs") is not None:
+        import warnings
+
+        warnings.warn(
+            "topk_batched(excluded_docs=...) excludes docs WITHOUT "
+            "correcting N/avgdl/df — see topk()",
+            stacklevel=2,
+        )
+    prep = _serve_prep(
+        spark, index_dir, queries,
+        filters=topk_kwargs.get("filters"),
+        not_terms=topk_kwargs.get("not_terms"),
+        k1=topk_kwargs.pop("k1", None), b=topk_kwargs.pop("b", None),
+    )
     parts = []
     for i in range(0, len(queries), max_batch):
         t0 = time.monotonic()
         parts.append(
-            topk(
-                spark, index_dir, queries.iloc[i : i + max_batch], k=k, **topk_kwargs
+            topk_frames(
+                spark, prep["blocks"], prep["tstats"],
+                queries.iloc[i : i + max_batch], k=k,
+                **topk_kwargs, **prep["frame_kwargs"],
             ).toPandas()
         )
         if chunk_times is not None:

@@ -13,6 +13,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _warm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Pre-fork the Python worker pool at session creation.
+
+    The FIRST pandas-UDF job of a session pays the daemon fork + one
+    interpreter start (pandas/numpy import) per worker — measured 4.5 s
+    cold vs 0.6 s warm for an identical trivial mapInPandas on local[32].
+    A long-lived executor amortizes that over its lifetime
+    (spark.python.worker.reuse is on by default); forcing it at session
+    init makes every *query* pay steady-state cost instead of charging
+    the whole pool spin-up to whichever operator happens to run first.
+    One trivial job over `cores` partitions touches every worker slot.
+    Set TS_NO_WORKER_WARMUP=1 to skip (short-lived CLI helpers)."""
+    if os.environ.get("TS_NO_WORKER_WARMUP"):
+        return
+    if getattr(spark, "_ts_workers_warm", False):
+        return
+    import pandas as pd  # noqa: F401 — imported in the workers below
+
+    def _ident(batches):
+        for pdf in batches:
+            yield pdf
+
+    (
+        spark.range(0, cores, numPartitions=cores)
+        .mapInPandas(_ident, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    spark._ts_workers_warm = True
+
+
 def get_spark(
     app: str = "theoremsearch_spark",
     cores: int | None = None,
@@ -20,7 +52,7 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -66,3 +98,5 @@ def get_spark(
         .config("spark.sql.execution.pyspark.udf.simplifiedTraceback.enabled", "false")
         .getOrCreate()
     )
+    _warm_python_workers(spark, cores)
+    return spark
