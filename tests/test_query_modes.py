@@ -190,9 +190,12 @@ def test_phrase_normalization_matches_tokenizer(spark, tmp_path):
 
 def test_phrase_verify_plan_is_jvm_side(spark, index_dir):
     """The verification stage (normalize → contains → snippet window)
-    must be pure codegen string ops: candidates enter as a local
-    relation, so NO Python eval node may appear in the executed plan."""
-    qs = pd.DataFrame([(0, "the a")], columns=["query_id", "query_text"])
+    must be pure codegen string ops: candidates enter as an executor-
+    checkpointed pool (scored before the verify plan builds), so NO
+    Python eval node may appear in the executed plan. Both tokens must
+    be indexed — an unindexed token folds the whole plan to a statically
+    empty relation, which would vacuously pass the EvalPython check."""
+    qs = pd.DataFrame([(0, "the and")], columns=["query_id", "query_text"])
     df = phrase_topk(
         spark, f"{index_dir}/index", f"{index_dir}/docs", qs, k=5, snippet_pad=20
     )

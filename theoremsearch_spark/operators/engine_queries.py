@@ -801,15 +801,18 @@ def q_facet_counts(spark, sf_dir):
     """Faceted search: per-query counts of a metadata column over ALL
     matching documents (conjunctive match set), not just the top-k —
     the sidebar-counts shape every search UI needs. Candidates come
-    from the index (mode='and', k=0: the full AND set with no extra
-    scan), metadata from the file-pruned docsmeta lookup; the count is
-    a groupBy over k·|AND set| rows, corpus-size independent."""
-    from theoremsearch_spark.query import _localize_hits, _pruned_doc_meta
+    from the index (mode='and', k=0, UNRANKED — the facet count never
+    needs a rank, so the global window over the full AND set is
+    skipped) and stay DISTRIBUTED: the metadata join is cluster-side
+    against the coarse-bucket file-pruned docsmeta scan
+    (query._pruned_doc_meta_pool) — the driver never holds the match
+    set, which for common-token queries is a corpus fraction."""
+    from theoremsearch_spark.query import _pruned_doc_meta_pool
 
     idx = _ensure_index(spark, sf_dir)
     qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
-    cand = _localize_hits(spark, topk(spark, idx, qs, k=0, mode="and"))
-    meta = _pruned_doc_meta(
+    cand = topk(spark, idx, qs, k=0, mode="and", rank=False).localCheckpoint()
+    meta = _pruned_doc_meta_pool(
         spark, os.path.join(idx, "docsmeta"), cand, ["lang"]
     )
     return (

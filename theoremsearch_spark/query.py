@@ -590,10 +590,19 @@ def topk_frames(
     n_segments: int = 1,
     mode: str = "or",
     not_terms: list[str] | None = None,
+    rank: bool = True,
 ) -> DataFrame:
     """Batch top-k over explicit frames: `blocks` = posting blocks
     (possibly a union of index generations), `tstats` = pandas term
     dictionary (term, term_id, df) already merged across generations.
+
+    `rank=False` (k <= 0 only) returns the UNRANKED candidate pool
+    (query_id, doc_id, score) — no global window: the k=0 conjunctive
+    pool exists to feed phrase verification / facet counting, both of
+    which re-rank (or never rank) downstream, so the row_number
+    exchange+sort over the full AND set is pure waste there. Segments
+    are doc-disjoint, so the un-windowed union of per-segment rows IS
+    the exact candidate set.
 
     `mode="and"`: conjunctive serving — only docs containing every
     scoring term qualify (rarest-first intersection in the scorer,
@@ -620,6 +629,8 @@ def topk_frames(
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if k <= 0 and mode != "and":
         raise ValueError("k <= 0 (full candidate set) requires mode='and'")
+    if not rank and k > 0:
+        raise ValueError("rank=False is the k <= 0 candidate-pool shape")
     fgroups = _normalize_filters(filters)
     if salt_threshold is None:
         salt_threshold = 2**62  # nothing is heavy → single-task queries
@@ -627,14 +638,18 @@ def topk_frames(
         queries, tstats, fgroups, salt_threshold, n_segments, not_terms=not_terms
     )
     if qterm is None:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+        return spark.createDataFrame(
+            [], _GROUP_SCHEMA if not rank else TOPK_SCHEMA
+        )
     ids = [int(x) for x in qterm["term_id"].unique()]
 
     allowed_bc = None
     if allowed_docs is not None:
         arr = np.unique(np.asarray(list(allowed_docs), dtype=np.int64))
         if arr.size == 0:
-            return spark.createDataFrame([], TOPK_SCHEMA)
+            return spark.createDataFrame(
+                [], _GROUP_SCHEMA if not rank else TOPK_SCHEMA
+            )
         allowed_bc = spark.sparkContext.broadcast(arr)
 
     excluded_bc = None
@@ -686,6 +701,8 @@ def topk_frames(
         )
 
     part = fan.groupBy("query_id", "serve_seg").applyInPandas(score, schema=_GROUP_SCHEMA)
+    if not rank:
+        return part  # exact candidate pool — no global window (see docstring)
     # global merge: ≤ S·k tiny rows per query (TakeOrdered-shaped window);
     # k <= 0 (conjunctive pool) ranks but keeps every candidate
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -708,9 +725,11 @@ def topk(
     b: float | None = None,
     mode: str = "or",
     not_terms: list[str] | None = None,
+    rank: bool = True,
 ) -> DataFrame:
     """Batch top-k: queries pandas(query_id, query_text) → Spark DF of
-    (query_id, rank, doc_id, score).
+    (query_id, rank, doc_id, score). `rank=False` (k <= 0 pools only)
+    skips the global rank window — see topk_frames.
 
     `mode="and"`: conjunctive serving — only docs containing EVERY
     query term qualify (still BM25-scored and ranked). `not_terms`:
@@ -749,7 +768,7 @@ def topk(
         spark, prep["blocks"], prep["tstats"], queries,
         k=k, filters=filters, allowed_docs=allowed_docs,
         excluded_docs=excluded_docs, mode=mode, not_terms=not_terms,
-        **prep["frame_kwargs"],
+        rank=rank, **prep["frame_kwargs"],
     )
 
 
@@ -931,20 +950,28 @@ def phrase_topk(
     bitwise-identical to doc-text verification (same tokenizer
     produced both artifacts; parity is test-locked). With
     `snippet_pad`, snippets are then computed from text fetched for
-    the FINAL k·Q rows only — the cheapest possible text touch."""
-    cand = _localize_hits(
-        spark,
-        topk(spark, index_dir, queries, k=0, mode="and", filters=filters),
+    the FINAL k·Q rows only — the cheapest possible text touch.
+
+    Scale contract (the k=0 pool): the candidate set stays DISTRIBUTED
+    end to end — it is never localized through the driver (for a
+    common-token phrase it is a corpus fraction; the driver only ever
+    sees the final k·Q rows, or the bounded coarse-bucket aggregate
+    the doc-text path's file pruning needs — see _pruned_doc_meta_pool)."""
+    cand = topk(
+        spark, index_dir, queries, k=0, mode="and", filters=filters,
+        rank=False,
     )
     if positions_dir is not None:
         from theoremsearch_spark.positions import phrase_verify_positional
 
+        # single consumer: the pool flows straight into the verify
+        # join as a plan subtree — no materialization anywhere
         ranked = phrase_verify_positional(
             spark, positions_dir, cand, queries, k
         )
         if snippet_pad is None:
             return ranked
-        ranked = _localize_hits(spark, ranked)
+        ranked = _localize_hits(spark, ranked)  # final k·Q rows — tiny
         docs = _pruned_doc_meta(spark, docs_dir, ranked, [text_col])
         needles = [
             (int(qid), " " + " ".join(tokenize(str(txt))) + " ")
@@ -957,7 +984,10 @@ def phrase_topk(
             .withColumn("snippet", _snippet_expr(text_col, snippet_pad))
             .select("query_id", "rank", "doc_id", "score", "snippet")
         )
-    docs = _pruned_doc_meta(spark, docs_dir, cand, [text_col])
+    # two consumers (file pruning + verify join): one EXECUTOR-side
+    # materialization so the scoring pipeline runs once
+    cand = cand.localCheckpoint()
+    docs = _pruned_doc_meta_pool(spark, docs_dir, cand, [text_col])
     return _verify_phrase(
         spark, cand, docs, queries, k, text_col, snippet_pad=snippet_pad
     )
@@ -1123,18 +1153,100 @@ def _prune_doc_files(docs_dir: str, ids: list[int]) -> list[str] | None:
     (or no ids) — caller falls back to the whole-dir scan. An empty
     list means the manifest proves NO file holds a hit."""
     import bisect
+    import os
+
+    ranges = _load_id_ranges(docs_dir)
+    if not ids or ranges is None:
+        return None
+    return [
+        os.path.join(docs_dir, r["file"])
+        for r in ranges
+        if (i := bisect.bisect_left(ids, r["lo"])) < len(ids) and ids[i] <= r["hi"]
+    ]
+
+
+def _load_id_ranges(docs_dir: str) -> list[dict] | None:
+    """The `_id_ranges.json` sidecar's [{"file", "lo", "hi"}, ...] —
+    None when the dir has no manifest (hand-built roots)."""
     import json
     import os
 
     from theoremsearch_spark.stats import ID_RANGES_MANIFEST
 
     manifest = os.path.join(docs_dir, ID_RANGES_MANIFEST)
-    if not ids or not os.path.isfile(manifest):
+    if not os.path.isfile(manifest):
         return None
     with open(manifest) as fh:
-        ranges = json.load(fh)["files"]
-    return [
+        return json.load(fh)["files"]
+
+
+def _bucket_shift(ranges: list[dict]) -> int:
+    """Coarse-bucket width for pool file pruning: one bucket ≈ one data
+    file's id span, so the distinct-bucket aggregate a pool produces is
+    O(n_files) ints however large the pool is."""
+    spans = [int(r["hi"]) - int(r["lo"]) + 1 for r in ranges if r]
+    if not spans:
+        return 16
+    avg = max(1, sum(spans) // len(spans))
+    return max(0, avg.bit_length() - 1)
+
+
+def _pool_hit_buckets(cand: DataFrame, shift: int) -> list[int]:
+    """Sorted distinct coarse id buckets (doc_id >> shift) of a
+    DISTRIBUTED candidate pool — one map-side-combined distinct over
+    the pool; the driver receives O(n_files) small ints, never a
+    candidate id."""
+    return sorted(
+        int(r["cb"])
+        for r in cand.select(F.shiftright("doc_id", shift).alias("cb"))
+        .distinct()
+        .collect()
+    )
+
+
+def _pruned_doc_meta_pool(
+    spark: SparkSession, docs_dir: str, cand: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Column-pruned docs scan for a DISTRIBUTED candidate pool —
+    the k=0 analog of `_pruned_doc_meta`, which collects hit ids and is
+    only sound for bounded k·Q result sets. A conjunctive pool can be a
+    corpus fraction, so the file-pruning signal here is a cluster-side
+    aggregate: distinct coarse id buckets (`_pool_hit_buckets`, bucket
+    width ≈ one file's id span). The driver sees O(n_files) ints and
+    selects exactly the files whose recorded [lo, hi] span intersects a
+    hit bucket; the bucket-bound BETWEEN filter is pushed to row-group
+    statistics inside them. No manifest → whole-dir scan bounded by the
+    pool's exact [min, max] (a 2-value aggregate)."""
+    ranges = _load_id_ranges(docs_dir)
+    base = spark.read.parquet(docs_dir).select("doc_id", *cols)
+    if ranges is None:
+        rng = cand.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if rng["lo"] is None:
+            return base.filter(F.lit(False))
+        return base.filter(F.col("doc_id").between(int(rng["lo"]), int(rng["hi"])))
+    shift = _bucket_shift(ranges)
+    buckets = _pool_hit_buckets(cand, shift)
+    if not buckets:
+        return base.filter(F.lit(False))
+    import bisect
+    import os
+
+    sel = [
         os.path.join(docs_dir, r["file"])
         for r in ranges
-        if (i := bisect.bisect_left(ids, r["lo"])) < len(ids) and ids[i] <= r["hi"]
+        if (i := bisect.bisect_left(buckets, int(r["lo"]) >> shift)) < len(buckets)
+        and buckets[i] <= int(r["hi"]) >> shift
     ]
+    if not sel:
+        return base.filter(F.lit(False))
+    return (
+        spark.read.parquet(*sel)
+        .select("doc_id", *cols)
+        .filter(
+            F.col("doc_id").between(
+                buckets[0] << shift, ((buckets[-1] + 1) << shift) - 1
+            )
+        )
+    )

@@ -727,7 +727,7 @@ def _tombstone_artifact(dead: DataFrame):
 def topk_all_generations(
     spark: SparkSession, out_dir: str, queries, k: int = 10,
     filters=None, allowed_docs=None, max_batch: int = 0,
-    mode: str = "or", not_terms=None,
+    mode: str = "or", not_terms=None, rank: bool = True,
 ):
     """Query across every committed generation with globally merged
     statistics (N, avgdl, df) — scores are identical to a from-scratch
@@ -948,7 +948,7 @@ def topk_all_generations(
     common = dict(
         n_docs=int(n_docs), avgdl=float(avgdl), k1=k1, b=b, k=k,
         n_segments=n_segments, filters=filters, allowed_docs=allowed_docs,
-        mode=mode, not_terms=not_terms,
+        mode=mode, not_terms=not_terms, rank=rank,
     )
     if not max_batch or len(queries) <= max_batch:
         return topk_frames(
@@ -961,7 +961,7 @@ def topk_all_generations(
     # over the shared lazy `blocks` plan and the already-merged term
     # stats; chunk results are k rows/query — concatenating them on the
     # driver is tiny by construction
-    from theoremsearch_spark.query import TOPK_SCHEMA
+    from theoremsearch_spark.query import _GROUP_SCHEMA, TOPK_SCHEMA
 
     excl = excluded_mask
     if excluded_mask is not None and excluded_mask.n:
@@ -974,7 +974,8 @@ def topk_all_generations(
         for i in range(0, len(queries), max_batch)
     ]
     return spark.createDataFrame(
-        pd.concat(parts, ignore_index=True), schema=TOPK_SCHEMA
+        pd.concat(parts, ignore_index=True),
+        schema=TOPK_SCHEMA if rank else _GROUP_SCHEMA,
     )
 
 
@@ -1010,6 +1011,66 @@ def pruned_generation_docs(
     return docs
 
 
+def pruned_generation_docs_pool(
+    spark: SparkSession, out_dir: str, cand: DataFrame, cols: list[str],
+) -> DataFrame:
+    """Docs rows matching a DISTRIBUTED candidate pool across every
+    committed generation — the k=0 analog of `pruned_generation_docs`,
+    whose id-list contract is only sound for bounded result sets. The
+    pruning signal is ONE cluster-side aggregate over the pool: distinct
+    coarse id buckets sized to the generations' file spans (the driver
+    receives O(total files) ints, never a candidate id); each
+    generation's manifest is then pruned against that bucket set and
+    the bucket-bound BETWEEN filter lands on row-group statistics."""
+    from theoremsearch_spark.query import (
+        _bucket_shift,
+        _load_id_ranges,
+        _pool_hit_buckets,
+    )
+
+    per_gen: list[tuple[str, list[dict] | None]] = []
+    spans: list[dict] = []
+    for g in _generations(spark, out_dir):
+        if g.get("delete_only"):
+            continue
+        dpath = _docs_path(out_dir, g["gen"])
+        ranges = _load_id_ranges(dpath)
+        per_gen.append((dpath, ranges))
+        spans.extend(ranges or [])
+    if not per_gen:
+        raise ValueError(f"no committed generations under {out_dir}")
+    shift = _bucket_shift(spans)
+    buckets = _pool_hit_buckets(cand, shift)
+    all_paths = [p for p, _ in per_gen]
+    if not buckets:
+        docs = spark.read.parquet(*all_paths).filter(F.lit(False))
+        return docs.select("doc_id", *[c for c in cols if c in docs.columns])
+    import bisect
+    import os
+
+    paths: list[str] = []
+    for dpath, ranges in per_gen:
+        if ranges is None:
+            paths.append(dpath)  # no manifest — BETWEEN still prunes row groups
+            continue
+        paths.extend(
+            os.path.join(dpath, r["file"])
+            for r in ranges
+            if (i := bisect.bisect_left(buckets, int(r["lo"]) >> shift))
+            < len(buckets)
+            and buckets[i] <= int(r["hi"]) >> shift
+        )
+    if not paths:
+        docs = spark.read.parquet(*all_paths).filter(F.lit(False))
+    else:
+        docs = spark.read.parquet(*paths).filter(
+            F.col("doc_id").between(
+                buckets[0] << shift, ((buckets[-1] + 1) << shift) - 1
+            )
+        )
+    return docs.select("doc_id", *[c for c in cols if c in docs.columns])
+
+
 def phrase_topk_all_generations(
     spark: SparkSession, out_dir: str, queries, k: int = 10,
     filters=None, text_col: str = "extracted_text",
@@ -1036,11 +1097,13 @@ def phrase_topk_all_generations(
 
     from theoremsearch_spark.query import _localize_hits, _verify_phrase
 
-    cand = _localize_hits(
-        spark,
-        topk_all_generations(
-            spark, out_dir, queries, k=0, mode="and", filters=filters
-        ),
+    # the k=0 conjunctive pool stays DISTRIBUTED (unranked — phrase
+    # verification re-ranks): for common-token phrases it is a corpus
+    # fraction, so it must never localize through the driver; only the
+    # final k·Q rows (and the bounded coarse-bucket pruning aggregate)
+    # ever do
+    cand = topk_all_generations(
+        spark, out_dir, queries, k=0, mode="and", filters=filters, rank=False
     )
     pos_roots = []
     missing = []
@@ -1064,6 +1127,7 @@ def phrase_topk_all_generations(
         ranked = phrase_verify_positional(spark, pos_roots, cand, queries, k)
         if snippet_pad is None:
             return ranked
+        # final k·Q rows — bounded, the id-list pruning path is sound
         ranked = _localize_hits(spark, ranked)
         ids = [int(r["doc_id"]) for r in ranked.select("doc_id").distinct().collect()]
         docs = pruned_generation_docs(spark, out_dir, ids, cols=[text_col])
@@ -1082,8 +1146,11 @@ def phrase_topk_all_generations(
             .withColumn("snippet", _snippet_expr(text_col, snippet_pad))
             .select("query_id", "rank", "doc_id", "score", "snippet")
         )
-    ids = [int(r["doc_id"]) for r in cand.select("doc_id").distinct().collect()]
-    docs = pruned_generation_docs(spark, out_dir, ids, cols=[text_col])
+    # doc-text verify: two consumers (pruning aggregate + verify join) —
+    # one executor-side materialization so scoring runs once; the driver
+    # sees only the coarse-bucket aggregate, never the pool
+    cand = cand.localCheckpoint()
+    docs = pruned_generation_docs_pool(spark, out_dir, cand, cols=[text_col])
     return _verify_phrase(
         spark, cand, docs, queries, k, text_col, snippet_pad=snippet_pad
     )
