@@ -609,6 +609,27 @@ def test_ann_chunked_serving_identical(spark, emb_frames, tmp_path):
     intercept = 2 * j2 - j4
     assert intercept >= 1, f"tombstone prep not shared (j2={j2}, j4={j4})"
 
+    # the tombstone set must never localize as pandas Rows: prep packs
+    # it executor-side (_tombstone_mask_artifact) and broadcasts once —
+    # the unchunked path equality above already proves the broadcast
+    # mask and the JVM join implement the same death rule
+    from pyspark.sql import DataFrame as _DF
+
+    orig = _DF.toPandas
+
+    def guard(self, *a, **kw):
+        assert "upto_gen" not in self.columns, (
+            "tombstone frame localized as pandas during chunked serving"
+        )
+        return orig(self, *a, **kw)
+
+    _DF.toPandas = guard
+    try:
+        again, _ = run("ann_2chunks_guard", max_batch=8)
+    finally:
+        _DF.toPandas = orig
+    pd.testing.assert_frame_equal(full, again)
+
 
 def test_sq8_quantized_index(spark, emb_frames, tmp_path):
     """SQ8 storage: ~4× smaller cells, recall@K ≥ 0.9 vs the fp32

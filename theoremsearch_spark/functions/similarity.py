@@ -822,6 +822,60 @@ def live_cells(spark, out_dir: str) -> DataFrame:
     return cells if tomb is None else _exclude_tombstoned(cells, tomb)
 
 
+def _tombstone_mask_artifact(tomb: DataFrame):
+    """One EXECUTOR-side job over the aggregated tombstone rows
+    (vec_id, upto_gen) → (sorted vec_id int64 array, aligned upto_gen
+    int64 array), or None when empty. Each task packs its partition
+    into two binary buffers; the driver receives one compact blob per
+    partition — never a Row per tombstone — and merge-sorts the
+    O(churn) arrays. The vector-store analog of the text engine's
+    PackedDocIdSet serve prep (streaming/incremental._tombstone_artifact):
+    broadcast ONCE by the chunked server, shared by every chunk."""
+
+    def pack(batches):
+        ids, upto = [], []
+        for pdf in batches:
+            ids.append(pdf["vec_id"].to_numpy(np.int64))
+            upto.append(pdf["upto_gen"].to_numpy(np.int64))
+        if ids:
+            i = np.concatenate(ids)
+            u = np.concatenate(upto)
+            o = np.argsort(i, kind="stable")
+            yield pd.DataFrame({"ids": [i[o].tobytes()], "upto": [u[o].tobytes()]})
+
+    rows = tomb.select("vec_id", "upto_gen").mapInPandas(
+        pack, schema="ids binary, upto binary"
+    ).collect()
+    if not rows:
+        return None
+    ids = np.concatenate([np.frombuffer(bytes(r["ids"]), np.int64) for r in rows])
+    upto = np.concatenate([np.frombuffer(bytes(r["upto"]), np.int64) for r in rows])
+    o = np.argsort(ids, kind="stable")
+    return ids[o], upto[o]
+
+
+def _exclude_tombstoned_mask(cand: DataFrame, mask_bc) -> DataFrame:
+    """Row-death rule applied from the broadcast packed mask (decoded
+    arrays live once per executor on the broadcast object): a row dies
+    when its id has a tombstone with upto_gen ≥ the row's gen — same
+    semantics as the `_exclude_tombstoned` broadcast join, without
+    re-shipping a local-relation tombstone table in every chunk job."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def live(vec_id: pd.Series, gen: pd.Series) -> pd.Series:
+        ids, upto = mask_bc.value
+        v = vec_id.to_numpy(np.int64)
+        g = gen.to_numpy(np.int64)
+        pos = np.searchsorted(ids, v)
+        hit = (pos < ids.size) & (ids[np.minimum(pos, ids.size - 1)] == v)
+        out = np.ones(v.size, dtype=bool)
+        out[hit] = g[hit] > upto[pos[hit]]
+        return pd.Series(out)
+
+    return cand.filter(live("vec_id", "gen"))
+
+
 def _exclude_tombstoned(cand: DataFrame, tomb: DataFrame) -> DataFrame:
     """Drop candidate rows superseded by the tombstone set: a row dies
     when its id has a tombstone with upto_gen ≥ the row's gen. Max-
@@ -870,10 +924,14 @@ def ann_ivf_search(
     gains a `wscore` column; `ann_rescored_topk` is the exact oracle
     for the same formula.
 
-    `_prep`: (meta, tombstone DataFrame|None) computed ONCE by
+    `_prep`: (meta, tombstones) computed ONCE by
     `ann_ivf_search_batched` and shared across its chunks — the
     serve-prep-runs-once discipline the text side's chunked serving
-    established (topk_all_generations max_batch)."""
+    established (topk_all_generations max_batch). The tombstone slot is
+    either a DataFrame (joined JVM-side) or a BROADCAST of the packed
+    (ids, upto_gen) arrays (`_tombstone_mask_artifact`) — packed once,
+    shipped once, decoded once per executor; never re-localized per
+    chunk."""
     if _prep is not None:
         meta, tomb = _prep
     else:
@@ -913,7 +971,12 @@ def ann_ivf_search(
         # it into the parquet reader of the probed cells
         cells = cells.filter(where)
     if tomb is not None:
-        cells = _exclude_tombstoned(cells, tomb)
+        from pyspark.broadcast import Broadcast
+
+        if isinstance(tomb, Broadcast):
+            cells = _exclude_tombstoned_mask(cells, tomb)
+        else:
+            cells = _exclude_tombstoned(cells, tomb)
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
     qv = spark.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in zip(queries_pdf["query_id"], Q)],
@@ -979,9 +1042,13 @@ def ann_ivf_search_batched(
     cross-query state).
 
     Serve-prep runs ONCE: the index meta and the aggregated tombstone
-    set are computed up front and shared by every chunk (tombstones are
-    O(churn) rows — they localize to the driver once and re-enter each
-    chunk as a broadcast local relation, never a re-scan).
+    set are computed up front and shared by every chunk. The tombstones
+    are packed EXECUTOR-side into two compact arrays
+    (`_tombstone_mask_artifact` — one blob per partition to the driver,
+    never a Row per tombstone) and broadcast ONCE; each chunk's scoring
+    job reads the shared broadcast instead of re-shipping a
+    local-relation tombstone table (the round-5 verdict's O(churn)
+    Rows-through-the-driver-per-chunk finding).
 
     `chunk_times` receives each chunk's measured wall seconds —
     bench.py derives real serving-latency p50/p95 from these."""
@@ -991,19 +1058,15 @@ def ann_ivf_search_batched(
 
     meta = _read_ivf_meta(out_dir)
     tomb = _visible_tombstones(spark, out_dir, int(meta["generations"]))
-    tomb_pdf = tomb.toPandas() if tomb is not None else None
-    if tomb_pdf is not None and not len(tomb_pdf):
-        tomb_pdf = None
+    mask = _tombstone_mask_artifact(tomb) if tomb is not None else None
+    mask_bc = spark.sparkContext.broadcast(mask) if mask is not None else None
     parts = []
     schema = None
     for i in range(0, len(queries_pdf), max_batch):
         t0 = time.monotonic()
-        tomb_local = (
-            spark.createDataFrame(tomb_pdf) if tomb_pdf is not None else None
-        )
         res = ann_ivf_search(
             spark, out_dir, queries_pdf.iloc[i : i + max_batch], k=k,
-            _prep=(meta, tomb_local), **search_kwargs,
+            _prep=(meta, mask_bc), **search_kwargs,
         )
         schema = res.schema
         parts.append(res.toPandas())
