@@ -343,6 +343,35 @@ def _block_builder_sorting(avgdl: float, k1: float, b: float, block_size: int):
     return build
 
 
+def _write_doc_stats(
+    path: str, n_docs: int, avgdl: float, k1: float, b: float,
+    block_size: int, n_segments: int, salt_threshold: int,
+) -> None:
+    """doc_stats sidecar (one row) via a direct pyarrow write — schema
+    identical to the historical Spark write (long/double/int32), so
+    multi-generation mergeSchema reads mix old and new files freely."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)  # overwrite semantics
+    table = pa.table(
+        {
+            "n_docs": pa.array([int(n_docs)], pa.int64()),
+            "avgdl": pa.array([float(avgdl)], pa.float64()),
+            "k1": pa.array([float(k1)], pa.float64()),
+            "b": pa.array([float(b)], pa.float64()),
+            "block_size": pa.array([int(block_size)], pa.int32()),
+            "n_segments": pa.array([int(n_segments)], pa.int32()),
+            "salt_threshold": pa.array([int(salt_threshold)], pa.int32()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, f"{path}/part-00000.parquet")
+
+
 def completed_buckets(spark: SparkSession, manifest_dir: str) -> set[int]:
     try:
         rows = spark.read.parquet(manifest_dir).filter(F.col("status") == "done").select("bucket").collect()
@@ -416,10 +445,13 @@ def build_index(
                 pass
             raise
         n_docs, avgdl = _doc_stats_fut.result()
-        spark.createDataFrame(
-            [(n_docs, avgdl, float(k1), float(b), int(block_size), int(n_segments), int(salt_threshold))],
-            "n_docs long, avgdl double, k1 double, b double, block_size int, n_segments int, salt_threshold int",
-        ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+        # ONE metadata row — written driver-side with pyarrow instead of
+        # a Spark job (a createDataFrame+write job costs ~0.4 s of pure
+        # scheduling for 7 scalar values); readers still spark.read it
+        _write_doc_stats(
+            f"{out_dir}/doc_stats", n_docs, avgdl, k1, b,
+            block_size, n_segments, salt_threshold,
+        )
 
         def _collision_count() -> int:
             # 64-bit term_id collision would silently merge two posting
@@ -439,7 +471,9 @@ def build_index(
         collision_check = _pool.submit(_collision_count)
         _pool.shutdown(wait=False)
     else:
-        meta = spark.read.parquet(f"{out_dir}/doc_stats").collect()[0]
+        meta = stats_mod.read_doc_stats_row(f"{out_dir}/doc_stats")
+        if meta is None:
+            meta = spark.read.parquet(f"{out_dir}/doc_stats").collect()[0]
         avgdl = float(meta["avgdl"])
 
     tstats = spark.read.parquet(f"{out_dir}/term_stats")

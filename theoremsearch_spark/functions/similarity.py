@@ -54,6 +54,27 @@ def _cosine(a: str, b: str):
     return dot / (na * nb)
 
 
+def _cosine_unitq(qunit: str, b: str):
+    """Cosine against a pre-normalized query vector: dot / ||b|| — the
+    query-side norm is constant per query, so it is divided out ONCE
+    driver-side instead of being recomputed by codegen for every
+    candidate row (IVF serving's scorer; the oracle-paired brute-force
+    baselines keep the symmetric form their hashes were locked with)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(qunit), F.col(b), lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(b), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / nb
+
+
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     """Exact cosine top-k of `queries` (query_id, qvec) against `emb`
     (vec_id, embedding). Queries broadcast; ties → vec_id ASC."""
@@ -476,21 +497,31 @@ def build_ann_index(
     assigned = _assign_cells(emb, C)
     if quantize == "sq8":
         assigned = _sq8_quantize(assigned)
-    (
-        assigned
-        .repartition("cell")  # one writer task per cell: no tiny files
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{out_dir}/cells/gen=0")
-    )
-    (
-        emb.select("vec_id")
-        .withColumn("vb", _vec_bucket("vec_id"))
-        .repartition("vb")
-        .write.mode("overwrite")
-        .partitionBy("vb")
-        .parquet(f"{out_dir}/keyindex/gen=0")
-    )
+
+    def write_cells():
+        (
+            assigned
+            .repartition("cell")  # one writer task per cell: no tiny files
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{out_dir}/cells/gen=0")
+        )
+
+    def write_keyindex():
+        (
+            emb.select("vec_id")
+            .withColumn("vb", _vec_bucket("vec_id"))
+            .repartition("vb")
+            .write.mode("overwrite")
+            .partitionBy("vb")
+            .parquet(f"{out_dir}/keyindex/gen=0")
+        )
+
+    # the two writes are independent jobs over the same input — run
+    # them concurrently so the key-index job back-fills executor slots
+    # the cells job's tail leaves idle (guide §2.6); commit order is
+    # irrelevant pre-meta (nothing is visible until ivf_meta lands)
+    _run_concurrently(write_cells, write_keyindex)
     meta = {
         "layout": ANN_LAYOUT,
         "n_vectors": int(n),
@@ -503,6 +534,24 @@ def build_ann_index(
     }
     _write_ivf_meta(out_dir, meta)
     return {"n_vectors": int(n), "n_centroids": int(C.shape[0])}
+
+
+def _run_concurrently(*fns) -> None:
+    """Run independent Spark actions from a small thread pool so their
+    jobs overlap on idle executor slots (guide §2.6); exceptions
+    propagate after every job drains (never orphan a running job)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futs = [pool.submit(fn) for fn in fns]
+        errs = []
+        for f in futs:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        if errs:
+            raise errs[0]
 
 
 def _committed_gen_dirs(out_dir: str, sub: str, n_gens: int, leaf: str | None = None):
@@ -631,35 +680,52 @@ def add_to_ann_index(
         assigned = _assign_cells(emb_new, C)
         if meta.get("quantize") == "sq8":
             assigned = _sq8_quantize(assigned)
-        (
-            assigned
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(f"{out_dir}/cells/gen={gen}")
-        )
         ids_new = emb_new.select("vec_id")
-        n_replaced = 0
         # a torn prior attempt at this gen number may have left a
         # tombstone dir; remove it so a no-replacement commit can't
         # accidentally commit the torn attempt's rows
         shutil.rmtree(f"{out_dir}/tombstones/gen={gen}", ignore_errors=True)
-        if upsert:
+        replaced = {"n": 0}
+
+        def write_cells():
+            (
+                assigned
+                .repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{out_dir}/cells/gen={gen}")
+            )
+
+        def write_keyindex():
+            (
+                ids_new.withColumn("vb", _vec_bucket("vec_id"))
+                .repartition("vb")
+                .write.mode("overwrite")
+                .partitionBy("vb")
+                .parquet(f"{out_dir}/keyindex/gen={gen}")
+            )
+
+        def find_stale():
+            # prior-version lookup reads only COMMITTED generations'
+            # key buckets — independent of this gen's in-flight writes
             stale = _live_prior_versions(spark, out_dir, ids_new, gen).select(
                 "vec_id", F.col("gen").alias("upto_gen")
             )
-            n_replaced = stale.count()
-            if n_replaced:
+            n = stale.count()
+            if n:
                 stale.write.mode("overwrite").parquet(
                     f"{out_dir}/tombstones/gen={gen}"
                 )
-        (
-            ids_new.withColumn("vb", _vec_bucket("vec_id"))
-            .repartition("vb")
-            .write.mode("overwrite")
-            .partitionBy("vb")
-            .parquet(f"{out_dir}/keyindex/gen={gen}")
-        )
+            replaced["n"] = n
+
+        # the three pre-commit steps touch disjoint outputs and only
+        # committed inputs — overlapping their jobs (guide §2.6) hides
+        # the small lookup/keyindex walls inside the cells write
+        if upsert:
+            _run_concurrently(write_cells, write_keyindex, find_stale)
+        else:
+            _run_concurrently(write_cells, write_keyindex)
+        n_replaced = replaced["n"]
         meta["generations"] = gen + 1
         meta["n_vectors"] = int(meta["n_vectors"]) + int(n_new) - n_replaced
         _write_ivf_meta(out_dir, meta)
@@ -978,18 +1044,22 @@ def ann_ivf_search(
         else:
             cells = _exclude_tombstoned(cells, tomb)
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    # ship the UNIT query vectors: cosine then needs only the candidate
+    # norm per row (_cosine_unitq) — the query norm is divided out here
+    # once instead of per candidate row by codegen
     qv = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in zip(queries_pdf["query_id"], Q)],
+        [(int(q), [float(x) for x in v]) for q, v in zip(queries_pdf["query_id"], Qn)],
         "query_id long, qvec array<double>",
     )
     cand = cells.join(F.broadcast(probes.join(qv, "query_id")), "cell")
     extra = [rescore_col] if rescore_col else []
     cos_col = (
         # packed bytes never unpack row-wise: one Arrow batch = one
-        # frombuffer + one vectorized dot (see _sq8_cos)
+        # frombuffer + one vectorized dot (see _sq8_cos; it normalizes
+        # the query side itself, so unit input passes through exactly)
         _sq8_cos("emb8", "q_scale", "q_offset", "qvec")
         if quantized
-        else _cosine("qvec", "embedding")
+        else _cosine_unitq("qvec", "embedding")
     )
     scored = cand.select(
         "query_id",

@@ -456,9 +456,14 @@ def _exact_rescore(
 
 
 def load_index_meta(spark: SparkSession, index_dir: str) -> dict:
-    row = spark.read.parquet(f"{index_dir}/doc_stats").collect()[0]
+    from theoremsearch_spark.stats import read_doc_stats_row
+
     keys = ("n_docs", "avgdl", "k1", "b", "n_segments", "salt_threshold")
-    return {k: row[k] for k in keys if k in row.__fields__}
+    row = read_doc_stats_row(f"{index_dir}/doc_stats")
+    if row is None:  # non-local path — fall back to a Spark read
+        srow = spark.read.parquet(f"{index_dir}/doc_stats").collect()[0]
+        return {k: srow[k] for k in keys if k in srow.__fields__}
+    return {k: row[k] for k in keys if k in row}
 
 
 def _normalize_filters(filters) -> list[list[str]]:
@@ -786,31 +791,23 @@ def _serve_prep(
     metadata and the term-dictionary rows for every term the batch (and
     its filters / must-nots) touches, plus the lazy postings frame.
 
-    The two loads are independent tiny jobs, so they run CONCURRENTLY
-    (guide §2.6 — overlap independent jobs); chunked serving
-    (`topk_batched`) calls this once for the WHOLE batch and reuses the
-    result for every chunk, so serve prep is O(1) in the chunk count —
-    the same serve-prep-runs-once discipline topk_all_generations and
-    ann_ivf_search_batched already follow."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    The doc_stats metadata is a driver-side pyarrow read (zero Spark
+    jobs), so prep costs exactly ONE job — the term-dictionary scan.
+    Chunked serving (`topk_batched`) calls this once for the WHOLE
+    batch and reuses the result for every chunk, so serve prep is O(1)
+    in the chunk count — the same serve-prep-runs-once discipline
+    topk_all_generations and ann_ivf_search_batched already follow."""
     all_terms = sorted({t for q in queries["query_text"] for t in tokenize(q)})
     for g in _normalize_filters(filters):
         all_terms.extend(g)
     all_terms.extend(not_terms or [])
 
-    def load_tstats() -> pd.DataFrame:
-        return (
-            spark.read.parquet(f"{index_dir}/term_stats")
-            .filter(F.col("term").isin(all_terms))
-            .toPandas()
-        )
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_meta = pool.submit(load_index_meta, spark, index_dir)
-        fut_tstats = pool.submit(load_tstats)
-        meta = fut_meta.result()
-        tstats = fut_tstats.result()
+    meta = load_index_meta(spark, index_dir)
+    tstats = (
+        spark.read.parquet(f"{index_dir}/term_stats")
+        .filter(F.col("term").isin(all_terms))
+        .toPandas()
+    )
     if k1 is not None and abs(float(k1) - float(meta["k1"])) > 1e-12:
         raise ValueError(
             f"k1={k1} differs from index build k1={meta['k1']}; "

@@ -96,6 +96,19 @@ def get_spark(
         # a second daemon + N workers mid-job (measured: an 18s 16-core
         # kernel storm of parallel pandas imports)
         .config("spark.sql.execution.pyspark.udf.simplifiedTraceback.enabled", "false")
+        # multi-path reads (probed ANN cell dirs, pruned doc files,
+        # per-generation roots) list a few hundred local directories;
+        # above this threshold Spark launches a distributed LISTING JOB
+        # whose fixed job cost (~0.4 s measured at 170 dirs) dwarfs the
+        # listing itself on a local filesystem. Driver-side listing is
+        # the right default here; on a cluster against object storage
+        # with 10^4+ dirs per read, lower it via env to re-enable the
+        # distributed listing (guide §6: listing is driver-side work —
+        # parallelize it only when it is actually the bottleneck).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("TS_PAR_LISTING_THRESHOLD", "10000"),
+        )
         .getOrCreate()
     )
     _warm_python_workers(spark, cores)

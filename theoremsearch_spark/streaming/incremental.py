@@ -770,13 +770,27 @@ def topk_all_generations(
     # scan with the generation id parsed from the file path.
     gen_col = F.regexp_extract(F.input_file_name(), r"gen_(-?\d+)/index", 1).cast("int")
 
-    metas = {
-        int(r["gen"]): r
-        for r in spark.read.option("mergeSchema", "true")
-        .parquet(*[f"{out_dir}/gen_{g}/index/doc_stats" for g in gen_ids])
-        .withColumn("gen", gen_col)
-        .collect()
-    }
+    # per-generation doc_stats: G one-row sidecars — read DRIVER-side
+    # with pyarrow (zero Spark jobs; a mergeSchema multi-dir collect
+    # job for G·7 scalars measured ~0.3 s). Spark fallback for
+    # non-local roots.
+    from theoremsearch_spark.stats import read_doc_stats_row
+
+    metas: dict[int, dict] = {}
+    for g in gen_ids:
+        row = read_doc_stats_row(f"{out_dir}/gen_{g}/index/doc_stats")
+        if row is None:
+            metas = {
+                int(r["gen"]): {
+                    k: r[k] for k in r.__fields__ if k != "gen"
+                }
+                for r in spark.read.option("mergeSchema", "true")
+                .parquet(*[f"{out_dir}/gen_{gg}/index/doc_stats" for gg in gen_ids])
+                .withColumn("gen", gen_col)
+                .collect()
+            }
+            break
+        metas[int(g)] = row
     n_docs = sum(m["n_docs"] for m in metas.values())
     avgdl = sum(m["avgdl"] * m["n_docs"] for m in metas.values()) / n_docs
     any_meta = next(iter(metas.values()))
@@ -840,7 +854,7 @@ def topk_all_generations(
     # older code — treat NULL as the legacy default (unsharded)
     seg_moduli = {
         int(m["n_segments"])
-        if "n_segments" in m.__fields__ and m["n_segments"] is not None
+        if m.get("n_segments") is not None
         else 1
         for m in metas.values()
     }
@@ -857,8 +871,7 @@ def topk_all_generations(
                 "gen": list(metas),
                 "salt_threshold": [
                     int(m["salt_threshold"])
-                    if "salt_threshold" in m.__fields__
-                    and m["salt_threshold"] is not None
+                    if m.get("salt_threshold") is not None
                     else 2**62
                     for m in metas.values()
                 ],
