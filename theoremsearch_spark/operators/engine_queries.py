@@ -811,7 +811,9 @@ def q_facet_counts(spark, sf_dir):
 
     idx = _ensure_index(spark, sf_dir)
     qs = pd.DataFrame(HARNESS_QUERIES, columns=["query_id", "query_text"])
-    cand = topk(spark, idx, qs, k=0, mode="and", rank=False).localCheckpoint()
+    cand = topk(spark, idx, qs, k=0, mode="and", rank=False).localCheckpoint(
+        eager=False  # the pruning aggregate materializes it — no extra job
+    )
     meta = _pruned_doc_meta_pool(
         spark, os.path.join(idx, "docsmeta"), cand, ["lang"]
     )

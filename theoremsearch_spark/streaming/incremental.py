@@ -1162,7 +1162,7 @@ def phrase_topk_all_generations(
     # doc-text verify: two consumers (pruning aggregate + verify join) —
     # one executor-side materialization so scoring runs once; the driver
     # sees only the coarse-bucket aggregate, never the pool
-    cand = cand.localCheckpoint()
+    cand = cand.localCheckpoint(eager=False)  # pruning agg materializes it
     docs = pruned_generation_docs_pool(spark, out_dir, cand, cols=[text_col])
     return _verify_phrase(
         spark, cand, docs, queries, k, text_col, snippet_pad=snippet_pad
