@@ -372,6 +372,41 @@ def _write_doc_stats(
     pq.write_table(table, f"{path}/part-00000.parquet")
 
 
+# Bucket assignment rule, recorded per index: bucket MUST equal the
+# shuffle's own partition id (see build_index) — resuming a partial
+# build under a different rule would re-route rows across buckets and
+# silently duplicate postings, so the rule is checked before any
+# bucket is skipped.
+BUCKET_RULE = "murmur3-termseg-v2"
+
+
+def _check_bucket_rule(out_dir: str, done: set[int]) -> None:
+    import json
+    import os
+
+    p = f"{out_dir}/bucket_rule.json"
+    if os.path.isfile(p):
+        with open(p) as fh:
+            rule = json.load(fh).get("rule")
+        if rule != BUCKET_RULE and done:
+            raise RuntimeError(
+                f"{out_dir}: partial build used bucket rule {rule!r} but "
+                f"this version assigns {BUCKET_RULE!r} — resuming would "
+                "re-route rows across buckets and duplicate postings; "
+                "rebuild with resume=False"
+            )
+    elif done:
+        raise RuntimeError(
+            f"{out_dir}: partial build predates the bucket-rule record — "
+            "the bucket mapping changed; rebuild with resume=False"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{p}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"rule": BUCKET_RULE}, fh)
+    os.rename(tmp, p)
+
+
 def completed_buckets(spark: SparkSession, manifest_dir: str) -> set[int]:
     try:
         rows = spark.read.parquet(manifest_dir).filter(F.col("status") == "done").select("bucket").collect()
@@ -478,9 +513,19 @@ def build_index(
 
     tstats = spark.read.parquet(f"{out_dir}/term_stats")
 
+    _check_bucket_rule(out_dir, done)
     salted = salt_segments(rows, tstats.select("term_id", "df"), salt_threshold, n_segments)
+    # bucket = pmod(murmur3(term_id, segment), n_buckets) — EXACTLY the
+    # partition id Spark's HashPartitioning assigns for a repartition on
+    # (term_id, segment). Shuffling on the high-cardinality pair gives a
+    # perfectly even n_buckets-way split with partition == bucket 1:1;
+    # the previous bucket-keyed shuffle hashed 32 distinct bucket values
+    # into 32 partitions — balls-into-bins left ~1/e of reducers empty
+    # and the fullest with 3 buckets (guide §2.5: synthetic partitioning
+    # keys with too few distinct values), a 3x straggler on the build's
+    # widest stage.
     salted = salted.withColumn(
-        "bucket", F.pmod(F.xxhash64("term_id", "segment"), F.lit(n_buckets)).cast("int")
+        "bucket", F.pmod(F.hash("term_id", "segment"), F.lit(n_buckets)).cast("int")
     )
 
     pending = sorted(set(range(n_buckets)) - done)
@@ -490,15 +535,20 @@ def build_index(
         return {"buckets_built": 0, "resumed": True}
 
     todo = salted.filter(F.col("bucket").isin([int(x) for x in pending]))
+    # repartition on (term_id, segment): with len(pending) == n_buckets
+    # every partition holds exactly its own bucket (see bucket rule
+    # above); on a resume over a bucket subset, partitions may span
+    # buckets — the dynamic partitionBy writer still splits correctly,
+    # at the cost of a few extra files in the resumed buckets.
     if sort_in_python:
         # hash exchange only (bypass-merge shuffle writer); the builder
         # numpy-lexsorts each bucket partition — see _block_builder_sorting
-        shuffled = todo.repartition(len(pending), "bucket")
+        shuffled = todo.repartition(len(pending), "term_id", "segment")
         builder = _block_builder_sorting(avgdl, k1, b, block_size)
     else:
-        shuffled = todo.repartition(len(pending), "bucket").sortWithinPartitions(
-            "term_id", "segment", "doc_id"
-        )
+        shuffled = todo.repartition(
+            len(pending), "term_id", "segment"
+        ).sortWithinPartitions("term_id", "segment", "doc_id")
         builder = _block_builder(avgdl, k1, b, block_size)
     blocks = shuffled.mapInPandas(builder, schema=POSTINGS_SCHEMA)
     try:
