@@ -99,13 +99,16 @@ def test_positional_reads_only_phrase_buckets(spark, index_dir, oracle, position
     from theoremsearch_spark.extract import tokenize
 
     toks = sorted({t for q in qs["query_text"] for t in tokenize(q)})
-    tids = {
-        int(r["tid"])
+    from theoremsearch_spark.positions import PB_RULE, _pb_rule
+
+    rule, nb = _pb_rule(positions_dir)
+    assert rule == PB_RULE  # a fresh sidecar records the murmur3 rule
+    allowed = {
+        f"pb={int(r['mm']) % nb}"
         for r in spark.createDataFrame([(t,) for t in toks], "t string")
-        .select(F.xxhash64("t").alias("tid"))
+        .select(F.hash(F.xxhash64("t")).alias("mm"))
         .collect()
     }
-    allowed = {f"pb={tid % POS_BUCKETS}" for tid in tids}
     pos_files = [f for f in df.inputFiles() if "/positions/" in f]
     assert pos_files, "no positions files in the plan"
     for f in pos_files:

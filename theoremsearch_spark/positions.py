@@ -73,13 +73,42 @@ def term_positions_udf(text: pd.Series) -> pd.Series:
     return text.map(agg)
 
 
+PB_RULE = "murmur3-v2"
+
+
+def _pb_rule(root: str) -> tuple[str, int]:
+    """(rule, n_buckets) recorded in a sidecar's `_pb_rule.json`.
+    Sidecars written before the record used pb = term_id % buckets
+    ("mod") — still served correctly via this fallback."""
+    import json
+    import os
+
+    p = f"{root}/{PB_RULE_FILE}"
+    if os.path.isfile(p):
+        with open(p) as fh:
+            d = json.load(fh)
+        return d.get("rule", "mod"), int(d.get("buckets", POS_BUCKETS))
+    return "mod", POS_BUCKETS
+
+
+PB_RULE_FILE = "_pb_rule.json"
+
+
 def build_positions(
     docs: DataFrame, out_dir: str, n_buckets: int = POS_BUCKETS
 ) -> dict:
     """docs (doc_id, extracted_text) → `{out_dir}/positions` sidecar.
     One narrow pass + one shuffle of (term_id, doc_id, pos-array) rows
     bucketed by term hash; files sorted by (term_id, doc_id) for
-    row-group pruning."""
+    row-group pruning.
+
+    pb = pmod(murmur3(term_id), n_buckets) — EXACTLY the partition id
+    the term_id-keyed repartition assigns, so every reducer writes one
+    pb dir (the previous pb-keyed shuffle hashed 32 bucket values into
+    32 partitions — balls-into-bins stragglers, guide §2.5). The rule
+    is recorded in `_pb_rule.json`; serving derives each term's pb
+    through the SAME JVM functions, and legacy sidecars without the
+    record keep the old modulo rule."""
     rows = (
         docs.select(
             "doc_id",
@@ -96,15 +125,22 @@ def build_positions(
                 lambda x: x.cast("int"),
             ).alias("pos"),
         )
-        .withColumn("pb", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
+        .withColumn("pb", F.pmod(F.hash("term_id"), F.lit(n_buckets)).cast("int"))
     )
     (
-        rows.repartition("pb")
+        rows.repartition(n_buckets, "term_id")
         .sortWithinPartitions("term_id", "doc_id")
         .write.mode("overwrite")
         .partitionBy("pb")
         .parquet(f"{out_dir}/positions")
     )
+    import json
+    import os
+
+    tmp = f"{out_dir}/positions/.{PB_RULE_FILE}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"rule": PB_RULE, "buckets": int(n_buckets)}, fh)
+    os.rename(tmp, f"{out_dir}/positions/{PB_RULE_FILE}")
     # row count from the just-written parquet FOOTERS (driver-side
     # metadata walk, zero data read) — the previous
     # read.parquet(...).count() launched a full extra scan of the
@@ -164,12 +200,20 @@ def phrase_verify_positional(
     vocab = sorted({t for toks in tok_lists.values() for t in toks})
     if not vocab:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    tid_of = {
-        r["t"]: int(r["tid"])
-        for r in spark.createDataFrame([(t,) for t in vocab], "t string")
-        .select("t", F.xxhash64("t").alias("tid"))
+    # term → (term_id, murmur3(term_id)) via the SAME JVM functions the
+    # builder used (one tiny local-relation job — no driver-side hash
+    # reimplementation to drift); mm feeds the murmur3 pb rule below
+    id_rows = (
+        spark.createDataFrame([(t,) for t in vocab], "t string")
+        .select(
+            "t",
+            F.xxhash64("t").alias("tid"),
+            F.hash(F.xxhash64("t")).alias("mm"),
+        )
         .collect()
-    }
+    )
+    tid_of = {r["t"]: int(r["tid"]) for r in id_rows}
+    mm_of = {int(r["tid"]): int(r["mm"]) for r in id_rows}
     pt_rows = [
         (qid, tid_of[t], off, len(toks))
         for qid, toks in tok_lists.items()
@@ -185,17 +229,24 @@ def phrase_verify_positional(
 
     # one sidecar root (single index) or several (one per committed
     # generation of a streamed root — doc_ids are globally unique via
-    # the generation offsets, so the union IS the corpus positions)
+    # the generation offsets, so the union IS the corpus positions).
+    # pb derivation is PER ROOT from its recorded rule: mixed roots
+    # (legacy modulo + murmur3) each prune with their own mapping.
     roots = [positions_dir] if isinstance(positions_dir, str) else list(positions_dir)
-    pbs = sorted({tid % n_buckets for tid in all_tids})
     import os
 
-    paths = [
-        p
-        for root in roots
-        for b in pbs
-        if os.path.isdir(p := f"{root}/pb={b}")
-    ]
+    paths = []
+    for root in roots:
+        rule, nb = _pb_rule(root)
+        pbs = sorted(
+            {
+                (mm_of[tid] % nb) if rule == PB_RULE else (tid % nb)
+                for tid in all_tids
+            }
+        )
+        paths.extend(
+            p for b in pbs if os.path.isdir(p := f"{root}/pb={b}")
+        )
     if not paths:
         return spark.createDataFrame([], TOPK_SCHEMA)
     pos = (
