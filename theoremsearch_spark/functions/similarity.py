@@ -1100,7 +1100,8 @@ def ann_ivf_search(
 
 def ann_ivf_search_batched(
     spark, out_dir: str, queries_pdf, k: int = 10, *,
-    max_batch: int = 0, chunk_times: list | None = None, **search_kwargs,
+    max_batch: int = 0, chunk_times: list | None = None,
+    max_inflight: int = 2, **search_kwargs,
 ) -> DataFrame:
     """Serve a large ANN query batch in bounded chunks of `max_batch`
     queries — the vector-side analog of `query.topk_batched`: the
@@ -1130,18 +1131,32 @@ def ann_ivf_search_batched(
     tomb = _visible_tombstones(spark, out_dir, int(meta["generations"]))
     mask = _tombstone_mask_artifact(tomb) if tomb is not None else None
     mask_bc = spark.sparkContext.broadcast(mask) if mask is not None else None
-    parts = []
-    schema = None
-    for i in range(0, len(queries_pdf), max_batch):
+
+    def run_chunk(chunk):
         t0 = time.monotonic()
         res = ann_ivf_search(
-            spark, out_dir, queries_pdf.iloc[i : i + max_batch], k=k,
-            _prep=(meta, mask_bc), **search_kwargs,
+            spark, out_dir, chunk, k=k, _prep=(meta, mask_bc), **search_kwargs,
         )
-        schema = res.schema
-        parts.append(res.toPandas())
-        if chunk_times is not None:
-            chunk_times.append(time.monotonic() - t0)
+        return res.schema, res.toPandas(), time.monotonic() - t0
+
+    # up to max_inflight chunk jobs in flight (guide §2.6 — the next
+    # chunk back-fills the current chunk's task tail); order-preserving
+    # map keeps re-assembly deterministic and the co-resident working
+    # set bounded by max_inflight chunks
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = [
+        queries_pdf.iloc[i : i + max_batch]
+        for i in range(0, len(queries_pdf), max_batch)
+    ]
+    parts = []
+    schema = None
+    with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as pool:
+        for sch, pdf, dt in pool.map(run_chunk, chunks):
+            schema = sch
+            parts.append(pdf)
+            if chunk_times is not None:
+                chunk_times.append(dt)
     return spark.createDataFrame(pd.concat(parts, ignore_index=True), schema=schema)
 
 
