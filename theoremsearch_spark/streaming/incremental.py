@@ -860,46 +860,44 @@ def topk_all_generations(
     }
     n_segments = seg_moduli.pop() if len(seg_moduli) == 1 else 1
 
-    # salt thresholds are pure build-time metadata — independent of the
-    # tombstone corrections, so the merged-term-stats job can launch
-    # before the artifact job finishes
+    # salt thresholds are pure build-time metadata — applied in pandas
+    # to the collected per-generation term rows below (no salt_info
+    # join inside a Spark job)
     import pandas as pd  # noqa: F811 — local alias for frame building
 
-    salt_info = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "gen": list(metas),
-                "salt_threshold": [
-                    int(m["salt_threshold"])
-                    if m.get("salt_threshold") is not None
-                    else 2**62
-                    for m in metas.values()
-                ],
-            }
+    thr = {
+        int(g): (
+            int(m["salt_threshold"])
+            if m.get("salt_threshold") is not None
+            else 2**62
         )
-    )
+        for g, m in metas.items()
+    }
 
-    tstats = (
+    # ONE term-dictionary scan for the whole serve: collect the
+    # per-generation rows for the batch's terms (bounded by
+    # |batch terms|·G — driver-tiny at any corpus size) and derive BOTH
+    # the merged stats and the per-generation salted-routing flags in
+    # pandas. The previous shape ran a Spark groupBy for the merge AND
+    # re-scanned term_stats inside the scoring job to build the
+    # salted_flags broadcast; now the flags enter the scoring plan as a
+    # local relation and term_stats is read exactly once.
+    tstats_plan = (
         spark.read.parquet(*[f"{out_dir}/gen_{g}/index/term_stats" for g in gen_ids])
         .withColumn("gen", gen_col)
         .filter(F.col("term").isin(all_terms))
-        .join(F.broadcast(salt_info), "gen")
-        .withColumn("any_salted", F.col("df") > F.col("salt_threshold"))
-    )
-    salted_flags = tstats.select("gen", "term_id", F.col("any_salted").alias("is_salted"))
-    merged_plan = tstats.groupBy("term", "term_id").agg(
-        F.sum("df").alias("df"), F.max("any_salted").alias("any_salted")
+        .select("gen", "term", "term_id", "df")
     )
 
     # run the independent preparation jobs CONCURRENTLY (exclusion
-    # artifact, per-term dead-doc counts, merged term stats) — each is a
-    # tiny job that leaves most executor slots idle, so overlapping them
-    # collapses three job walls into ~one
+    # artifact, per-term dead-doc counts, term-dictionary scan) — each
+    # is a tiny job that leaves most executor slots idle, so
+    # overlapping them collapses three job walls into ~one
     from concurrent.futures import ThreadPoolExecutor
 
     dfc: dict[str, int] = {}
     with ThreadPoolExecutor(max_workers=3) as pool:
-        fut_merged = pool.submit(merged_plan.toPandas)
+        fut_tstats = pool.submit(tstats_plan.toPandas)
         if dead is not None:
             fut_mask = pool.submit(_tombstone_artifact, dead)
             dead_counts_plan = (
@@ -917,7 +915,14 @@ def topk_all_generations(
                 dfc = {r["term"]: int(r["cnt"]) for r in fut_dfc.result()}
             else:
                 fut_dfc.result()
-        merged = fut_merged.result()
+        per_gen = fut_tstats.result()
+
+    per_gen["any_salted"] = per_gen["df"] > per_gen["gen"].map(thr)
+    merged = (
+        per_gen.groupby(["term", "term_id"], as_index=False)
+        .agg(df=("df", "sum"), any_salted=("any_salted", "max"))
+    )
+    merged["any_salted"] = merged["any_salted"].astype(bool)
 
     if dfc:
         # scoring df excludes dead docs; the any_salted ROUTING flag
@@ -941,6 +946,16 @@ def topk_all_generations(
                 ],
             }
         )
+    )
+    # per-generation salted-routing flags as a LOCAL relation (collected
+    # with the term dictionary above) — no term_stats re-scan inside the
+    # scoring job
+    salted_flags = spark.createDataFrame(
+        [
+            (int(r.gen), int(r.term_id), bool(r.any_salted))
+            for r in per_gen.itertuples()
+        ],
+        "gen int, term_id long, is_salted boolean",
     )
     blocks = (
         # recursiveFileLookup: the postings roots are bucket-partitioned
