@@ -29,6 +29,15 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--vecs", type=int, default=20000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--phrase-common", action="store_true",
+        help="also time the ALL-STOPWORD phrase (worst-case k=0 pool: "
+        "the AND candidate set is a large corpus fraction) through the "
+        "positional path — the round-5 verdict's engine_phrase_common "
+        "shape; the pool stays distributed (test-locked), this records "
+        "the wall",
+    )
+    ap.add_argument("--docs", type=int, default=50000)
     args = ap.parse_args()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -59,6 +68,46 @@ def main() -> int:
 
     work = tempfile.mkdtemp(prefix="ts_bench_extra_")
     try:
+        if args.phrase_common:
+            import pandas as pd
+
+            from theoremsearch_spark.build import build_index
+            from theoremsearch_spark.corpus import STOPWORDS, generate_documents
+            from theoremsearch_spark.positions import build_positions
+            from theoremsearch_spark.query import phrase_topk
+            from theoremsearch_spark.stats import prepare_docs
+
+            spark.sparkContext.setJobDescription("bench_extra: phrase-common fixture")
+            generate_documents(spark, args.docs, partitions=cpus * 2).write.mode(
+                "overwrite"
+            ).parquet(f"{work}/documents")
+            docs_r = prepare_docs(
+                spark.read.parquet(f"{work}/documents"), work,
+                num_partitions=cpus * 2,
+            )
+            build_index(
+                docs_r, f"{work}/index", n_buckets=cpus, resume=False,
+                salt_threshold=max(1000, args.docs // 3), n_segments=8,
+            )
+            build_positions(spark.read.parquet(f"{work}/docs"), f"{work}/index")
+            # both tokens are designated stopwords (each in >50% of
+            # docs): the conjunctive pool is a large corpus fraction —
+            # exactly the shape that used to localize through the driver
+            qs = pd.DataFrame(
+                [(0, f"{STOPWORDS[0]} {STOPWORDS[1]}")],
+                columns=["query_id", "query_text"],
+            )
+            spark.sparkContext.setJobDescription("bench_extra: engine_phrase_common")
+
+            def serve_common():
+                return phrase_topk(
+                    spark, f"{work}/index", f"{work}/docs", qs, k=10,
+                    positions_dir=f"{work}/index/positions",
+                ).count()
+
+            extras["phrase_common_rows"] = timed("engine_phrase_common", serve_common)
+            extras["phrase_common_docs"] = args.docs
+            return _emit(timings, extras)  # phrase-common only — skip ANN
         spark.sparkContext.setJobDescription("bench_extra: vector corpus")
         generate_vectors(
             spark, args.vecs, dim=args.dim, partitions=cpus * 2
@@ -123,10 +172,14 @@ def main() -> int:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
 
+    return _emit(timings, extras)
+
+
+def _emit(timings: dict, extras: dict) -> int:
     print(
         json.dumps(
             {
-                "metric": "supplementary: noop-isolated ANN serving at real dims",
+                "metric": "supplementary: noop-isolated serving shapes",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
