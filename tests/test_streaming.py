@@ -592,13 +592,32 @@ def test_tombstone_artifact_is_executor_packed(spark, upsert_index):
 
     out = upsert_index["out"]
     dead = spark.read.parquet(f"{out}/gen_1/tombstones").dropDuplicates(["doc_id"])
-    mask, n, dl = _tombstone_artifact(dead)
+    mask, n, dl, dfc = _tombstone_artifact(dead)
     pdf = dead.select("doc_id", "doc_len").toPandas()
     assert isinstance(mask, PackedDocIdSet)
     assert n == len(pdf) == 100
     assert dl == int(pdf["doc_len"].sum())
     assert (mask.decode() == np.sort(pdf["doc_id"].to_numpy())).all()
     assert mask.nbytes < n * 8  # beats a raw int64 array, let alone Rows
+    assert dfc == {}  # no count_terms requested
+
+    # the folded per-term dead-df counts must equal the independent
+    # explode/groupBy computation over the same deduped rows
+    from pyspark.sql import functions as F
+
+    some_terms = [
+        r["term"]
+        for r in dead.select(F.explode("terms").alias("term"))
+        .groupBy("term").count().orderBy(F.desc("count")).limit(5).collect()
+    ] + ["zz_never_seen"]
+    _, _, _, dfc2 = _tombstone_artifact(dead, some_terms)
+    want = {
+        r["term"]: int(r["cnt"])
+        for r in dead.select(F.explode("terms").alias("term"))
+        .filter(F.col("term").isin(some_terms))
+        .groupBy("term").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert dfc2 == want and "zz_never_seen" not in dfc2
 
 
 def test_compacted_generation_carries_keyindex(spark, upsert_index):

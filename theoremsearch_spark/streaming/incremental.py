@@ -687,41 +687,65 @@ def incremental_index(
     return stream
 
 
-def _tombstone_artifact(dead: DataFrame):
+def _tombstone_artifact(dead: DataFrame, count_terms=None):
     """ONE executor-side job over the (deduped) tombstone rows →
-    (PackedDocIdSet mask | None, n_dead, doc_len sum). Each task sorts
-    its own ids and packs one delta-varbyte chunk; the driver receives
-    one compressed blob + two longs PER PARTITION — never a Row per
-    tombstone (the previous `.collect()` of (doc_id, doc_len) rows put
-    O(tombstones) through the driver at serve time)."""
+    (PackedDocIdSet mask | None, n_dead, doc_len sum, {term: dead df}).
+    Each task sorts its own ids and packs one delta-varbyte chunk; the
+    driver receives one compressed blob + a handful of count rows PER
+    PARTITION — never a Row per tombstone (the previous `.collect()`
+    of (doc_id, doc_len) rows put O(tombstones) through the driver at
+    serve time).
+
+    `count_terms` (the batch's term set) folds the per-term dead-doc
+    df correction into the SAME pass: it previously ran as a second
+    job that re-scanned and re-dedup-shuffled the tombstones; here
+    each task tallies its partition's matching terms into a small dict
+    (bounded by |batch terms|) emitted as count rows."""
     import numpy as np
     import pandas as pd
 
     from theoremsearch_spark.codec import PackedDocIdSet
 
+    terms = set(count_terms or ())
+    cols = ["doc_id", "doc_len"] + (["terms"] if terms else [])
+
     def pack(batches):
         ids, dl = [], 0
+        cnt: dict[str, int] = {}
         for pdf in batches:
             ids.append(pdf["doc_id"].to_numpy(dtype="int64"))
             dl += int(pdf["doc_len"].sum())
+            if terms:
+                for ts in pdf["terms"]:
+                    for t in ts:
+                        if t in terms:
+                            cnt[t] = cnt.get(t, 0) + 1
         arr = np.concatenate(ids) if ids else np.empty(0, dtype="int64")
+        out = []
         if arr.size:
             arr.sort()
+            out.append(("", 0, int(arr.size), dl, PackedDocIdSet.pack_sorted(arr)))
+        out.extend((t, c, 0, 0, None) for t, c in cnt.items())
+        if out:
             yield pd.DataFrame(
-                {"n": [arr.size], "dl": [dl],
-                 "packed": [PackedDocIdSet.pack_sorted(arr)]}
+                out, columns=["term", "cnt", "n", "dl", "packed"]
             )
 
     rows = (
-        dead.select("doc_id", "doc_len")
-        .mapInPandas(pack, schema="n long, dl long, packed binary")
+        dead.select(*cols)
+        .mapInPandas(pack, schema="term string, cnt long, n long, dl long, packed binary")
         .collect()
     )
-    n = sum(int(r["n"]) for r in rows)
+    dfc: dict[str, int] = {}
+    for r in rows:
+        if r["term"]:
+            dfc[r["term"]] = dfc.get(r["term"], 0) + int(r["cnt"])
+    mask_rows = [r for r in rows if r["n"]]
+    n = sum(int(r["n"]) for r in mask_rows)
     if not n:
-        return None, 0, 0
-    mask = PackedDocIdSet([bytes(r["packed"]) for r in rows], n)
-    return mask, n, sum(int(r["dl"]) for r in rows)
+        return None, 0, 0, {}
+    mask = PackedDocIdSet([bytes(r["packed"]) for r in mask_rows], n)
+    return mask, n, sum(int(r["dl"]) for r in mask_rows), dfc
 
 
 def topk_all_generations(
@@ -889,32 +913,23 @@ def topk_all_generations(
         .select("gen", "term", "term_id", "df")
     )
 
-    # run the independent preparation jobs CONCURRENTLY (exclusion
-    # artifact, per-term dead-doc counts, term-dictionary scan) — each
-    # is a tiny job that leaves most executor slots idle, so
-    # overlapping them collapses three job walls into ~one
+    # run the independent preparation jobs CONCURRENTLY (tombstone
+    # artifact — which now folds the per-term dead-doc counts into its
+    # single pass — and the term-dictionary scan): two tiny jobs that
+    # leave most executor slots idle, so overlapping them collapses
+    # their walls into ~one
     from concurrent.futures import ThreadPoolExecutor
 
     dfc: dict[str, int] = {}
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         fut_tstats = pool.submit(tstats_plan.toPandas)
         if dead is not None:
-            fut_mask = pool.submit(_tombstone_artifact, dead)
-            dead_counts_plan = (
-                dead.select(F.explode("terms").alias("term"))
-                .filter(F.col("term").isin(all_terms))
-                .groupBy("term")
-                .agg(F.count("*").alias("cnt"))
-            )
-            fut_dfc = pool.submit(dead_counts_plan.collect)
-            excluded_mask, n_dead, dl_dead = fut_mask.result()
+            fut_mask = pool.submit(_tombstone_artifact, dead, all_terms)
+            excluded_mask, n_dead, dl_dead, dfc = fut_mask.result()
             if n_dead:
                 total_len = avgdl * n_docs - dl_dead
                 n_docs -= n_dead
                 avgdl = total_len / max(n_docs, 1)
-                dfc = {r["term"]: int(r["cnt"]) for r in fut_dfc.result()}
-            else:
-                fut_dfc.result()
         per_gen = fut_tstats.result()
 
     per_gen["any_salted"] = per_gen["df"] > per_gen["gen"].map(thr)
